@@ -1,0 +1,171 @@
+"""Shared pieces of the differentiable Gaussian rasterizer.
+
+This module implements the camera-space projection stage (EWA splatting of 3D
+Gaussians to screen-space 2D Gaussians) as dense, fully-vectorized,
+autodiff-friendly XLA. The compositing stages live in `raster_ref`
+(per-pixel oracle), `raster_tiled` (tile-binned XLA) and `raster_pallas`
+(Pallas TPU kernel).
+
+Replaces the projection/preprocess stage of the reference's external CUDA
+rasterizer `diff_gauss_pose` (call surface: reference
+src/model/decoder/cuda_splatting.py:45-144). Numerical conventions follow the
+original 3DGS CUDA preprocess:
+  * near-plane cull at z <= 0.2
+  * EWA Jacobian with t.x/t.z clamped to 1.3 * tan(fov/2)
+  * +0.3 px low-pass added to the 2D covariance diagonal
+  * radius = ceil(3 * sqrt(lambda_max))
+  * pixel sample points at integer coordinates, principal point at
+    (W-1)/2 for centered normalized intrinsics
+Gradients flow to means, covariances, SH, opacities AND the camera pose
+(the `viewmatrix` gradient of the diff_gauss_pose fork) because the whole
+projection stage is plain differentiable XLA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spfsplatv2_tpu.geometry.se3 import inverse_se3
+from spfsplatv2_tpu.ops.sh import eval_sh_colors
+
+NEAR_CULL = 0.2          # 3DGS near-plane cull threshold
+LOWPASS = 0.3            # screen-space low-pass filter added to cov2d diag
+ALPHA_MAX = 0.99         # per-gaussian alpha clamp
+ALPHA_MIN = 1.0 / 255.0  # skip threshold
+T_EPS = 1e-4             # transmittance early-stop threshold
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space 2D Gaussians for ONE camera.
+
+    xy:      (g, 2) pixel coords (integer-centered convention)
+    conic:   (g, 3) inverse 2D covariance (a, b, c) for [[a, b], [b, c]]
+    depth:   (g,)   camera-space z
+    color:   (g, 3) view-dependent RGB (SH evaluated)
+    opacity: (g,)
+    radius:  (g,)   int32 screen radius in pixels (0 => culled)
+    """
+
+    xy: jax.Array
+    conic: jax.Array
+    depth: jax.Array
+    color: jax.Array
+    opacity: jax.Array
+    radius: jax.Array
+
+
+def project_gaussians(
+    means: jax.Array,
+    covariances: jax.Array,
+    harmonics: jax.Array,
+    opacities: jax.Array,
+    c2w: jax.Array,
+    intrinsics: jax.Array,
+    image_shape: tuple[int, int],
+    sh_degree: int | None = None,
+    use_sh: bool = True,
+) -> ProjectedGaussians:
+    """Project one camera's view of a set of world-space Gaussians.
+
+    means (g, 3), covariances (g, 3, 3), harmonics (g, 3, d_sh),
+    opacities (g,), c2w (4, 4), intrinsics (3, 3) NORMALIZED.
+    """
+    h, w = image_shape
+    dtype = means.dtype
+
+    w2c = inverse_se3(c2w)
+    rot = w2c[:3, :3]
+    t_cam = (
+        jnp.einsum("ij,gj->gi", rot, means, precision=jax.lax.Precision.HIGHEST)
+        + w2c[:3, 3]
+    )
+    tz = t_cam[..., 2]
+    valid = tz > NEAR_CULL
+    tz_safe = jnp.where(valid, tz, 1.0)
+
+    fx = intrinsics[0, 0] * w
+    fy = intrinsics[1, 1] * h
+    cx = intrinsics[0, 2] * w - 0.5
+    cy = intrinsics[1, 2] * h - 0.5
+
+    px = fx * t_cam[..., 0] / tz_safe + cx
+    py = fy * t_cam[..., 1] / tz_safe + cy
+    xy = jnp.stack([px, py], axis=-1)
+
+    # EWA: clamp the frustum-space coords like the CUDA preprocess does.
+    tan_fx = 0.5 * w / fx
+    tan_fy = 0.5 * h / fy
+    lim_x = 1.3 * tan_fx
+    lim_y = 1.3 * tan_fy
+    txz = jnp.clip(t_cam[..., 0] / tz_safe, -lim_x, lim_x) * tz_safe
+    tyz = jnp.clip(t_cam[..., 1] / tz_safe, -lim_y, lim_y) * tz_safe
+
+    zeros = jnp.zeros_like(tz_safe)
+    j_row0 = jnp.stack([fx / tz_safe, zeros, -fx * txz / (tz_safe**2)], axis=-1)
+    j_row1 = jnp.stack([zeros, fy / tz_safe, -fy * tyz / (tz_safe**2)], axis=-1)
+    jac = jnp.stack([j_row0, j_row1], axis=-2)  # (g, 2, 3)
+
+    hi = jax.lax.Precision.HIGHEST
+    a_mat = jnp.einsum("gij,jk->gik", jac, rot, precision=hi)  # (g, 2, 3)
+    cov2d = jnp.einsum("gij,gjk,glk->gil", a_mat, covariances, a_mat, precision=hi)
+    a = cov2d[..., 0, 0] + LOWPASS
+    b = cov2d[..., 0, 1]
+    c = cov2d[..., 1, 1] + LOWPASS
+
+    det = a * c - b * b
+    det_valid = det > 0
+    det_safe = jnp.where(det_valid, det, 1.0)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+
+    valid = valid & det_valid & (radius > 0)
+    radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+
+    if use_sh:
+        campos = c2w[:3, 3]
+        view_dir = means - campos
+        view_dir = view_dir / (
+            jnp.linalg.norm(view_dir, axis=-1, keepdims=True) + 1e-12
+        )
+        color = eval_sh_colors(harmonics, view_dir, degree=sh_degree)
+    else:
+        color = harmonics[..., 0]
+
+    depth = jnp.where(valid, tz, jnp.inf).astype(dtype)
+    return ProjectedGaussians(
+        xy=xy,
+        conic=conic,
+        depth=depth,
+        color=color,
+        opacity=opacities,
+        radius=radius,
+    )
+
+
+def alpha_from_conic(
+    xy: jax.Array,
+    conic: jax.Array,
+    opacity: jax.Array,
+    pix: jax.Array,
+) -> jax.Array:
+    """Evaluate per-pixel alphas of screen-space Gaussians.
+
+    xy (..., g, 2), conic (..., g, 3), opacity (..., g,), pix (..., p, 2)
+    -> alpha (..., p, g). Applies the CUDA power>0 skip, the 0.99 clamp
+    and the 1/255 cutoff.
+    """
+    d = pix[..., :, None, :] - xy[..., None, :, :]  # (p, g, 2)
+    dx, dy = d[..., 0], d[..., 1]
+    power = (
+        -0.5 * (conic[..., None, :, 0] * dx * dx + conic[..., None, :, 2] * dy * dy)
+        - conic[..., None, :, 1] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_MAX, opacity[..., None, :] * jnp.exp(power))
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(keep, alpha, 0.0)

@@ -1,0 +1,249 @@
+"""Tile-binned differentiable Gaussian compositing in pure XLA.
+
+TPU-native re-design of the reference CUDA rasterizer's binning + per-tile
+compositing (external `diff_gauss_pose` package; call surface reference
+src/model/decoder/cuda_splatting.py:45-144). Design:
+
+  1. Every Gaussian is expanded into up to `max_tiles_per_gaussian` (tile,
+     depth-rank) entries (static cap => static shapes for XLA), mirroring the
+     CUDA duplicate-and-sort approach but with a fixed duplication budget.
+  2. One `jax.lax.sort` over (tile_id, depth_rank) replaces the CUDA radix
+     sort; per-tile segments are found with searchsorted.
+  3. Each 16x16 tile composites a fixed-size window of its front-most
+     `max_per_tile` entries in chunks. Within a chunk the front-to-back
+     recurrence T_{i+1} = T_i * (1 - a_i) is evaluated with a cumulative
+     product, which turns per-pixel sequential blending into dense
+     (pixels x chunk) VPU math plus one (pixels x chunk) @ (chunk x 3)
+     MXU matmul per chunk — this is the TPU-native formulation of splatting.
+
+The whole thing is differentiable by XLA autodiff (gathers become
+scatter-adds in the backward pass), so gradients reach means/covariances/
+SH/opacity and the camera pose exactly like the `diff_gauss_pose` fork's
+hand-written backward. The CUDA early-termination semantics (break when
+transmittance would drop below 1e-4) are reproduced exactly via a cumulative
+mask, so outputs match `raster_ref.composite_reference` to float tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spfsplatv2_tpu.ops.raster_common import (
+    ProjectedGaussians,
+    T_EPS,
+    alpha_from_conic,
+)
+
+TILE = 16
+PIX_PER_TILE = TILE * TILE
+
+
+class TileBins(NamedTuple):
+    ids_sorted: jax.Array    # (n_entries,) gaussian index per sorted entry
+    tile_starts: jax.Array   # (n_tiles + 1,) segment starts into ids_sorted
+    num_tiles_xy: tuple[int, int]  # (tiles_y, tiles_x) static
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int,
+) -> TileBins:
+    """Build depth-sorted per-tile entry lists (non-differentiable)."""
+    h, w = image_shape
+    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
+    n_tiles = tiles_y * tiles_x
+
+    xy = jax.lax.stop_gradient(proj.xy)
+    depth = jax.lax.stop_gradient(proj.depth)
+    radius = proj.radius
+    g = xy.shape[0]
+
+    live = (radius > 0) & jnp.isfinite(depth)
+
+    # Tile bbox exactly like the CUDA getRect.
+    r = radius.astype(xy.dtype)
+    x0 = jnp.clip(jnp.floor((xy[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    bw = jnp.where(live, x1 - x0, 0)
+    bh = jnp.where(live, y1 - y0, 0)
+    n_touched = bw * bh
+
+    # Depth rank (global front-to-back order).
+    order = jnp.argsort(depth)
+    rank = jnp.zeros((g,), jnp.int32).at[order].set(jnp.arange(g, dtype=jnp.int32))
+
+    # Expand to (g, d) duplicate slots, row-major over the bbox.
+    d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    dy = d // bw_safe
+    dx = d % bw_safe
+    slot_ok = (d < n_touched[:, None]) & live[:, None]
+    tile_id = jnp.where(
+        slot_ok, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), n_tiles
+    ).astype(jnp.int32)
+
+    gid = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[:, None], tile_id.shape)
+    rank_b = jnp.broadcast_to(rank[:, None], tile_id.shape)
+
+    tile_flat = tile_id.reshape(-1)
+    rank_flat = rank_b.reshape(-1)
+    gid_flat = gid.reshape(-1)
+
+    tile_sorted, _, ids_sorted = jax.lax.sort(
+        (tile_flat, rank_flat, gid_flat), dimension=0, num_keys=2
+    )
+    tile_starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return TileBins(ids_sorted, tile_starts, (tiles_y, tiles_x))
+
+
+def composite_tiles(
+    proj: ProjectedGaussians,
+    bins: TileBins,
+    image_shape: tuple[int, int],
+    background: jax.Array,
+    max_per_tile: int = 2048,
+    chunk: int = 128,
+):
+    """Composite all tiles. Returns (color (h, w, 3), depth (h, w), alpha (h, w))."""
+    h, w = image_shape
+    tiles_y, tiles_x = bins.num_tiles_xy
+    n_tiles = tiles_y * tiles_x
+    dtype = proj.xy.dtype
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    # Packed per-gaussian attributes + one trailing dummy row for padding.
+    packed = jnp.concatenate(
+        [
+            proj.xy,                      # 0:2
+            proj.conic,                   # 2:5
+            proj.color,                   # 5:8
+            proj.opacity[:, None],        # 8
+            depth_safe[:, None],          # 9
+        ],
+        axis=-1,
+    )
+    dummy = jnp.zeros((1, packed.shape[-1]), dtype=packed.dtype)
+    dummy = dummy.at[0, 0:2].set(jnp.asarray([-1e9, -1e9], dtype=packed.dtype))
+    packed = jnp.concatenate([packed, dummy], axis=0)
+    n_gauss = proj.xy.shape[0]
+
+    ids_padded = jnp.concatenate(
+        [bins.ids_sorted, jnp.full((max_per_tile,), n_gauss, jnp.int32)]
+    )
+
+    # Per-tile pixel coordinates (integer-center convention).
+    dyx = jnp.arange(TILE, dtype=dtype)
+    py, px = jnp.meshgrid(dyx, dyx, indexing="ij")
+    local_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (P, 2)
+
+    n_chunks = _cdiv(max_per_tile, chunk)
+
+    def render_tile(tile_idx, start, count):
+        ty = tile_idx // tiles_x
+        tx = tile_idx % tiles_x
+        origin = jnp.stack([tx * TILE, ty * TILE]).astype(dtype)
+        pix = local_pix + origin[None, :]
+
+        window = jax.lax.dynamic_slice(ids_padded, (start,), (max_per_tile,))
+        k_valid = jnp.minimum(count, max_per_tile)
+        window = jnp.where(
+            jnp.arange(max_per_tile) < k_valid, window, n_gauss
+        )
+        window = window.reshape(n_chunks, chunk)
+
+        def step(carry, ids):
+            t_carry, color_acc, depth_acc = carry
+            attrs = packed[ids]  # (chunk, 10)
+            alpha = alpha_from_conic(
+                attrs[:, 0:2], attrs[:, 2:5], attrs[:, 8], pix
+            )  # (P, chunk)
+            om = 1.0 - alpha
+            cp = jnp.cumprod(om, axis=-1)
+            t_incl = t_carry[:, None] * cp
+            composited = jax.lax.stop_gradient(t_incl) >= T_EPS
+            cp_excl = jnp.concatenate(
+                [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1
+            )
+            weight = jnp.where(composited, alpha * t_carry[:, None] * cp_excl, 0.0)
+            hi = jax.lax.Precision.HIGHEST
+            color_acc = color_acc + jnp.matmul(weight, attrs[:, 5:8], precision=hi)
+            depth_acc = depth_acc + jnp.matmul(weight, attrs[:, 9], precision=hi)
+            t_carry = t_carry * jnp.prod(
+                jnp.where(composited, om, 1.0), axis=-1
+            )
+            return (t_carry, color_acc, depth_acc), None
+
+        init = (
+            jnp.ones((PIX_PER_TILE,), dtype),
+            jnp.zeros((PIX_PER_TILE, 3), dtype),
+            jnp.zeros((PIX_PER_TILE,), dtype),
+        )
+        (t_final, color, depth), _ = jax.lax.scan(
+            jax.checkpoint(step), init, window
+        )
+        color = color + t_final[:, None] * background[None, :]
+        return color, depth, 1.0 - t_final
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = bins.tile_starts[:-1]
+    counts = bins.tile_starts[1:] - bins.tile_starts[:-1]
+    color, depth, alpha = jax.vmap(render_tile)(tile_ids, starts, counts)
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
+        return x[:h, :w]
+
+    return (
+        untile(color),
+        untile(depth[..., None])[..., 0],
+        untile(alpha[..., None])[..., 0],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_shape", "sh_degree", "use_sh",
+                     "max_tiles_per_gaussian", "max_per_tile", "chunk"),
+)
+def rasterize_tiled(
+    means,
+    covariances,
+    harmonics,
+    opacities,
+    c2w,
+    intrinsics,
+    background,
+    image_shape: tuple[int, int],
+    sh_degree: int | None = None,
+    use_sh: bool = True,
+    max_tiles_per_gaussian: int = 16,
+    max_per_tile: int = 2048,
+    chunk: int = 128,
+):
+    """Single-camera tiled rasterization: project + bin + composite."""
+    from spfsplatv2_tpu.ops.raster_common import project_gaussians
+
+    proj = project_gaussians(
+        means, covariances, harmonics, opacities, c2w, intrinsics,
+        image_shape, sh_degree=sh_degree, use_sh=use_sh,
+    )
+    bins = bin_gaussians(proj, image_shape, max_tiles_per_gaussian)
+    return composite_tiles(
+        proj, bins, image_shape, background,
+        max_per_tile=max_per_tile, chunk=chunk,
+    )

@@ -1,0 +1,128 @@
+"""Public differentiable rasterizer API (batched over cameras).
+
+Mirrors the call surface of the reference's `render_cuda`
+(reference: src/model/decoder/cuda_splatting.py:45-144), with the CUDA
+per-batch Python loop replaced by `jax.vmap` over cameras, and the
+`diff_gauss_pose` fork's pose gradient (`viewmatrix` as a differentiable
+call-time argument) supported natively because the projection stage is
+plain autodiff-able XLA.
+
+Backends:
+  * "tiled"     — tile-binned XLA path (default; fast, fully differentiable)
+  * "reference" — dense O(pixels x gaussians) oracle (tests / tiny scenes)
+  * "pallas"    — hand-written TPU kernel (see raster_pallas)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from spfsplatv2_tpu.ops.raster_common import project_gaussians
+from spfsplatv2_tpu.ops.raster_ref import composite_reference
+from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians, composite_tiles
+
+
+@dataclass(frozen=True)
+class RasterizerConfig:
+    backend: str = "tiled"
+    max_tiles_per_gaussian: int = 16
+    max_per_tile: int = 2048
+    chunk: int = 128
+    scale_invariant: bool = True
+    use_sh: bool = True
+
+
+@struct.dataclass
+class RenderOutput:
+    color: jax.Array  # (..., h, w, 3)
+    depth: jax.Array  # (..., h, w)
+    alpha: jax.Array  # (..., h, w)
+
+
+def _render_one(
+    means, covariances, harmonics, opacities,
+    c2w, intrinsics, background,
+    image_shape, sh_degree, cfg: RasterizerConfig,
+):
+    proj = project_gaussians(
+        means, covariances, harmonics, opacities, c2w, intrinsics,
+        image_shape, sh_degree=sh_degree, use_sh=cfg.use_sh,
+    )
+    if cfg.backend == "reference":
+        color, depth, alpha = composite_reference(proj, image_shape, background)
+    elif cfg.backend == "tiled":
+        bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
+        color, depth, alpha = composite_tiles(
+            proj, bins, image_shape, background,
+            max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
+        )
+    elif cfg.backend == "pallas":
+        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas
+
+        bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
+        color, depth, alpha = composite_pallas(
+            proj, bins, image_shape, background, chunk=cfg.chunk
+        )
+    else:
+        raise ValueError(f"unknown rasterizer backend {cfg.backend!r}")
+    return color, depth, alpha
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_shape", "sh_degree", "cfg"),
+)
+def render(
+    extrinsics: jax.Array,       # (cam, 4, 4) camera-to-world
+    intrinsics: jax.Array,       # (cam, 3, 3) normalized
+    near: jax.Array,             # (cam,)
+    far: jax.Array,              # (cam,)
+    image_shape: tuple[int, int],
+    background: jax.Array,       # (cam, 3)
+    means: jax.Array,            # (cam, g, 3) or (g, 3) shared
+    covariances: jax.Array,      # (cam, g, 3, 3) or (g, 3, 3)
+    harmonics: jax.Array,        # (cam, g, 3, d_sh) or (g, 3, d_sh)
+    opacities: jax.Array,        # (cam, g) or (g,)
+    sh_degree: int | None = None,
+    cfg: RasterizerConfig = RasterizerConfig(),
+) -> RenderOutput:
+    """Render a batch of cameras over (shared or per-camera) Gaussian sets.
+
+    `scale_invariant` mode rescales the world by 1/near per camera before
+    rendering (reference: cuda_splatting.py:66-75); depth is returned in the
+    RESCALED world like the reference (the decoder multiplies by near again).
+    """
+    shared = means.ndim == 2
+
+    if cfg.scale_invariant:
+        scale = 1.0 / near  # (cam,)
+        extrinsics = extrinsics.at[..., :3, 3].mul(scale[:, None])
+        if shared:
+            # Per-camera scaling makes the gaussian set per-camera.
+            means = means[None] * scale[:, None, None]
+            covariances = covariances[None] * (scale[:, None, None, None] ** 2)
+            harmonics = jnp.broadcast_to(
+                harmonics[None], (near.shape[0], *harmonics.shape)
+            )
+            opacities = jnp.broadcast_to(
+                opacities[None], (near.shape[0], *opacities.shape)
+            )
+            shared = False
+        else:
+            means = means * scale[:, None, None]
+            covariances = covariances * (scale[:, None, None, None] ** 2)
+
+    gaussian_axes = (None, None, None, None) if shared else (0, 0, 0, 0)
+    color, depth, alpha = jax.vmap(
+        lambda m, c, h, o, e, k, b: _render_one(
+            m, c, h, o, e, k, b, image_shape, sh_degree, cfg
+        ),
+        in_axes=(*gaussian_axes, 0, 0, 0),
+    )(means, covariances, harmonics, opacities, extrinsics, intrinsics, background)
+
+    return RenderOutput(color=color, depth=depth, alpha=alpha)
