@@ -1,0 +1,100 @@
+"""Headline benchmark: rendered Mpix/s fwd+bwd per chip (256^2, 2-view scale).
+
+Measures the differentiable rasterizer forward+backward throughput on the
+realistic SPFSplatV2 training workload: per-pixel Gaussians from 2 context
+views at 256x256 (2 * 65536 = 131072 Gaussians per scene), photometric loss,
+gradients to all Gaussian parameters AND the camera pose. Prints ONE JSON
+line with the measured Mpix/s.
+
+`vs_baseline` is the ratio against the reference CUDA rasterizer's
+fwd+bwd throughput; the reference repo publishes no numbers
+(BASELINE.md), so the denominator is an estimate of diff-gaussian-
+rasterization fwd+bwd on one A100 for this workload (~250 Mpix/s) — it is
+recalibrated when a measured reference number becomes available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_MPIX_S_ESTIMATE = 250.0
+
+
+def main() -> None:
+    from spfsplatv2_tpu.ops.covariance import build_covariance
+    from spfsplatv2_tpu.ops.rasterizer import RasterizerConfig, render
+
+    h = w = 256
+    views = 2           # context views contributing Gaussians
+    n_targets = 4       # rendered target views per scene per step
+    g = views * h * w   # pixel-aligned Gaussians
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 8)
+    # Pixel-aligned Gaussian cloud: one per pixel, pushed to depth 1-6.
+    means = jnp.concatenate(
+        [
+            jax.random.uniform(keys[0], (g, 2), minval=-1.5, maxval=1.5),
+            jax.random.uniform(keys[1], (g, 1), minval=1.0, maxval=6.0),
+        ],
+        axis=-1,
+    )
+    scales = 0.002 + 0.01 * jax.random.uniform(keys[2], (g, 3))
+    covs = build_covariance(scales, jax.random.normal(keys[3], (g, 4)))
+    harmonics = 0.3 * jax.random.normal(keys[4], (g, 3, 25))
+    opacities = jax.random.uniform(keys[5], (g,), minval=0.3, maxval=0.9)
+
+    k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+    angles = jnp.linspace(-0.1, 0.1, n_targets)
+    c2w = jnp.stack([jnp.eye(4).at[0, 3].set(float(a)) for a in angles])
+    intr = jnp.stack([k] * n_targets)
+    near = jnp.full((n_targets,), 1.0)
+    far = jnp.full((n_targets,), 100.0)
+    bg = jnp.zeros((n_targets, 3))
+    target = jax.random.uniform(keys[6], (n_targets, h, w, 3))
+
+    cfg = RasterizerConfig(
+        scale_invariant=True, max_per_tile=4096, chunk=256,
+        max_tiles_per_gaussian=16,
+    )
+
+    def loss_fn(means, covs, harmonics, opacities, c2w):
+        out = render(
+            c2w, intr, near, far, (h, w), bg,
+            means, covs, harmonics, opacities, cfg=cfg,
+        )
+        return jnp.mean((out.color - target) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # Warmup/compile.
+    grads = grad_fn(means, covs, harmonics, opacities, c2w)
+    jax.block_until_ready(grads)
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        grads = grad_fn(means, covs, harmonics, opacities, c2w)
+    jax.block_until_ready(grads)
+    elapsed = time.perf_counter() - start
+
+    pixels = iters * n_targets * h * w
+    mpix_s = pixels / elapsed / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_throughput",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / REFERENCE_MPIX_S_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

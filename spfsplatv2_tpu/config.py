@@ -1,0 +1,177 @@
+"""Typed configuration system: dataclasses + YAML overlays + CLI overrides.
+
+TPU-native replacement for the reference's Hydra + dacite stack
+(reference: config/*.yaml, src/config.py:62-104, src/global_cfg.py). The
+same layering is preserved — a typed root config composed of per-subsystem
+dataclasses, YAML experiment files overlaying defaults, and dotted-path
+command-line overrides (`a.b.c=value`) — without Hydra's runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any, Optional, get_args, get_origin
+
+from spfsplatv2_tpu.data.dataset import DatasetConfig
+from spfsplatv2_tpu.data.view_samplers import BoundedSamplerConfig
+from spfsplatv2_tpu.losses.reproj import ReprojConfig
+from spfsplatv2_tpu.models.croco.backbone import CrocoBackboneConfig
+from spfsplatv2_tpu.models.decoder import DecoderConfig
+from spfsplatv2_tpu.models.encoder import OpacityMappingConfig, SPFSplatV2Config
+from spfsplatv2_tpu.models.heads.pose_head import PoseHeadConfig
+from spfsplatv2_tpu.ops.rasterizer import RasterizerConfig
+from spfsplatv2_tpu.training.optim import OptimizerConfig
+from spfsplatv2_tpu.training.step import LossConfig
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    max_steps: int = 300_001
+    val_check_interval: int = 10_000
+    batch_size: int = 16
+    seed: int = 111_123
+    num_nodes: int = 1
+
+
+@dataclass(frozen=True)
+class CheckpointingConfig:
+    every_n_train_steps: int = 10_000
+    save_top_k: int = 1
+    resume: bool = False
+    load: Optional[str] = None
+    pretrained_weights: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class TrainFlags:
+    training_context: bool = False
+    random_drop_context_views: bool = False
+    random_drop_target_views: bool = False
+    distill_max_steps: int = 0
+    print_log_every_n_steps: int = 100
+
+
+@dataclass(frozen=True)
+class TestFlags:
+    align_pose: bool = False
+    pose_align_steps: int = 100
+    opt_lr: float = 5e-4
+    compute_scores: bool = True
+    save_image: bool = False
+    save_video: bool = False
+    output_path: str = "outputs/test"
+
+
+@dataclass(frozen=True)
+class RootConfig:
+    mode: str = "train"
+    encoder: SPFSplatV2Config = field(default_factory=SPFSplatV2Config)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    view_sampler: BoundedSamplerConfig = field(default_factory=BoundedSamplerConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    checkpointing: CheckpointingConfig = field(default_factory=CheckpointingConfig)
+    train: TrainFlags = field(default_factory=TrainFlags)
+    test: TestFlags = field(default_factory=TestFlags)
+    image_shape: tuple[int, int] = (256, 256)
+    output_dir: str = "outputs"
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    origin = get_origin(typ)
+    if typ is Any or value is None:
+        return value
+    if is_dataclass(typ):
+        return _from_dict(typ, value)
+    if origin is tuple:
+        args = get_args(typ)
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        return tuple(_coerce(v, t) for v, t in zip(value, args))
+    if origin in (list,):
+        (arg,) = get_args(typ) or (Any,)
+        return [_coerce(v, arg) for v in value]
+    if origin is not None and str(origin) in ("typing.Union", "types.UnionType"):
+        for arg in get_args(typ):
+            if arg is type(None):
+                continue
+            try:
+                return _coerce(value, arg)
+            except (TypeError, ValueError):
+                continue
+        return value
+    if typ in (int, float, str, bool):
+        if typ is bool and isinstance(value, str):
+            return value.lower() in ("1", "true", "yes")
+        return typ(value)
+    return value
+
+
+def _from_dict(cls, data: dict):
+    if not isinstance(data, dict):
+        raise TypeError(f"expected mapping for {cls.__name__}, got {type(data)}")
+    kwargs = {}
+    valid = {f.name: f for f in fields(cls)}
+    for key, value in data.items():
+        if key not in valid:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        kwargs[key] = _coerce(value, _resolve(cls, valid[key]))
+    return cls(**kwargs)
+
+
+def _resolve(cls, f):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return hints[f.name]
+
+
+def _to_dict(cfg) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, tuple):
+        return [_to_dict(v) for v in cfg]
+    return cfg
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _parse_override(s: str) -> tuple[list[str], Any]:
+    import yaml
+
+    key, _, value = s.partition("=")
+    return key.split("."), yaml.safe_load(value)
+
+
+def load_config(
+    yaml_paths: list[str | Path] | None = None,
+    overrides: list[str] | None = None,
+    base: Optional[RootConfig] = None,
+) -> RootConfig:
+    """Compose a RootConfig from defaults + YAML overlays + CLI overrides."""
+    import yaml
+
+    data = _to_dict(base or RootConfig())
+    for path in yaml_paths or []:
+        with open(path) as f:
+            overlay = yaml.safe_load(f) or {}
+        data = _deep_merge(data, overlay)
+    for override in overrides or []:
+        path, value = _parse_override(override)
+        node = data
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+    return _from_dict(RootConfig, data)

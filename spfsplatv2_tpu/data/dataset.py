@@ -1,0 +1,187 @@
+"""Chunked scene dataset: iterates `.torch` chunk files into training examples.
+
+TPU-native port of the reference's `DatasetRE10k` (one class serves re10k,
+acid, dl3dv, scannetpp, dtu — reference: src/dataset/dataset_re10k.py:25-295)
+plus the DataModule sharding logic (src/dataset/data_module.py). Differences
+by design:
+
+  * pure host-side numpy generator (no torch DataLoader); per-host dataset
+    sharding replaces per-rank worker seeding — pass (shard_id, num_shards),
+  * curriculum state (the view-sampler gap schedule) is driven by a
+    `global_step` argument instead of the reference's shared-memory
+    StepTracker (src/misc/step_tracker.py) — there are no worker processes
+    to synchronize with,
+  * all per-example fault-tolerance rules are preserved: FOV filter,
+    baseline range rejection, bad-shape and bad-image skipping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+from spfsplatv2_tpu.data import chunk_io
+from spfsplatv2_tpu.data.shims import apply_augmentation, apply_crop_shim
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    roots: tuple[str, ...] = ()
+    input_image_shape: tuple[int, int] = (256, 256)
+    original_image_shape: tuple[int, int] = (360, 640)
+    max_fov: float = 100.0
+    make_baseline_1: bool = True
+    relative_pose: bool = True
+    baseline_min: float = 1e-3
+    baseline_max: float = 1e2
+    near: float = 1.0
+    far: float = 100.0
+    augment: bool = True
+    skip_bad_shape: bool = True
+    overfit_to_scene: Optional[str] = None
+
+
+def _fov_deg(intrinsics: np.ndarray) -> np.ndarray:
+    fx, fy = intrinsics[:, 0, 0], intrinsics[:, 1, 1]
+    return np.degrees(
+        np.stack([2 * np.arctan(0.5 / fx), 2 * np.arctan(0.5 / fy)], -1)
+    )
+
+
+def _camera_normalization(pivot: np.ndarray, poses: np.ndarray) -> np.ndarray:
+    return np.linalg.inv(pivot)[None] @ poses
+
+
+class ChunkedSceneDataset:
+    def __init__(
+        self,
+        cfg: DatasetConfig,
+        view_sampler,
+        stage: str = "train",
+        shard_id: int = 0,
+        num_shards: int = 1,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.view_sampler = view_sampler
+        self.stage = stage
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.seed = seed
+        self.chunks: list[Path] = []
+        for root in cfg.roots:
+            root = Path(root) / stage if (Path(root) / stage).exists() else Path(root)
+            self.chunks.extend(sorted(root.glob("*.torch")))
+        if not self.chunks:
+            raise FileNotFoundError(f"no .torch chunks under {cfg.roots}")
+
+    def __iter__(self) -> Iterator[dict]:
+        return self.epoch(0)
+
+    def epoch(self, epoch: int = 0, global_step: int = 0) -> Iterator[dict]:
+        cfg = self.cfg
+        rng = np.random.default_rng(
+            (self.seed, epoch, self.shard_id) if self.stage == "train" else 0
+        )
+        chunks = list(self.chunks)
+        if self.stage in ("train", "val"):
+            rng.shuffle(chunks)
+        # Per-host sharding: stride chunks across shards.
+        chunks = chunks[self.shard_id:: self.num_shards]
+
+        for chunk_path in chunks:
+            chunk = chunk_io.load_chunk(chunk_path)
+            if cfg.overfit_to_scene is not None:
+                matches = [x for x in chunk if x["key"] == cfg.overfit_to_scene]
+                if not matches:
+                    continue
+                chunk = matches * len(chunk)
+            if self.stage in ("train", "val"):
+                rng.shuffle(chunk)
+
+            for example in chunk:
+                out = self._process(example, rng, global_step)
+                if out is not None:
+                    yield out
+
+    def _process(self, example, rng, global_step) -> Optional[dict]:
+        cfg = self.cfg
+        extrinsics, intrinsics = chunk_io.decode_poses(example["cameras"])
+        scene = example["key"]
+        num_views = extrinsics.shape[0]
+
+        try:
+            ctx_idx, tgt_idx = self.view_sampler.sample(
+                scene, num_views, rng, global_step
+            )
+        except ValueError:
+            return None
+
+        if (_fov_deg(intrinsics) > cfg.max_fov).any():
+            return None
+
+        try:
+            ctx_images = np.stack(
+                [chunk_io.decode_jpeg(example["images"][i]) for i in ctx_idx]
+            )
+            tgt_images = np.stack(
+                [chunk_io.decode_jpeg(example["images"][i]) for i in tgt_idx]
+            )
+        except (IndexError, OSError):
+            return None
+
+        if cfg.skip_bad_shape:
+            want = tuple(cfg.original_image_shape)
+            if ctx_images.shape[1:3] != want or tgt_images.shape[1:3] != want:
+                return None
+
+        # World rescale: context baseline -> 1 (reference lines 176-191).
+        extrinsics = extrinsics.copy()
+        if cfg.make_baseline_1:
+            a = extrinsics[ctx_idx[0], :3, 3]
+            b = extrinsics[ctx_idx[-1], :3, 3]
+            scale = float(np.linalg.norm(a - b))
+            if scale < cfg.baseline_min or scale > cfg.baseline_max:
+                return None
+            extrinsics[:, :3, 3] /= scale
+        else:
+            scale = 1.0
+
+        if cfg.relative_pose:
+            extrinsics = _camera_normalization(
+                extrinsics[ctx_idx[0]], extrinsics
+            )
+
+        def views(indices, images):
+            n = len(indices)
+            return {
+                "extrinsics": extrinsics[indices].astype(np.float32),
+                "intrinsics": intrinsics[indices].astype(np.float32),
+                "image": images.astype(np.float32),
+                "near": np.full((n,), cfg.near / scale, np.float32),
+                "far": np.full((n,), cfg.far / scale, np.float32),
+                "index": indices,
+            }
+
+        out = {
+            "context": views(ctx_idx, ctx_images),
+            "target": views(tgt_idx, tgt_images),
+            "scene": scene,
+        }
+        if self.stage == "train" and cfg.augment:
+            out = apply_augmentation(out, rng)
+        return apply_crop_shim(out, tuple(cfg.input_image_shape))
+
+
+def collate(examples: list[dict]) -> dict:
+    """Stack a list of examples into a batched numpy pytree."""
+    batch: dict = {"scene": [e["scene"] for e in examples]}
+    for side in ("context", "target"):
+        batch[side] = {
+            k: np.stack([e[side][k] for e in examples])
+            for k in examples[0][side]
+        }
+    return batch

@@ -1,0 +1,89 @@
+"""CLI entry: train / test, mirroring the reference's `python -m src.main`.
+
+Usage:
+    python -m spfsplatv2_tpu.main mode=train dataset.roots='[/data/re10k]' ...
+    python -m spfsplatv2_tpu.main mode=test checkpointing.load=outputs/...
+
+(reference: src/main.py:51-223; Hydra overlays are replaced by
+`--config path.yaml` files plus dotted `key=value` overrides, config.py.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", action="append", default=[])
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from spfsplatv2_tpu.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+
+    if cfg.mode == "train":
+        from spfsplatv2_tpu.training.loop import run_training, save_checkpoint
+
+        def log(step, metrics):
+            msg = " ".join(f"{k}={v:.5g}" for k, v in sorted(metrics.items()))
+            print(f"step {step}: {msg}", flush=True)
+
+        result = run_training(cfg, log_fn=log)
+        save_checkpoint(
+            Path(cfg.output_dir) / "checkpoints", result["state"], -1
+        )
+        print(json.dumps(result["metrics"], indent=2))
+        return 0
+
+    if cfg.mode == "test":
+        import jax.numpy as jnp
+
+        from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset
+        from spfsplatv2_tpu.data.view_samplers import make_view_sampler
+        from spfsplatv2_tpu.evaluation.benchmarker import Benchmarker
+        from spfsplatv2_tpu.evaluation.evaluator import (
+            EvalConfig,
+            evaluate_example,
+            summarize_and_dump,
+        )
+        from spfsplatv2_tpu.models.encoder import SPFSplatV2Encoder
+        from spfsplatv2_tpu.training.loop import load_checkpoint
+
+        encoder = SPFSplatV2Encoder(cfg.encoder)
+        sampler = make_view_sampler("bounded", cfg.view_sampler, stage="test")
+        dataset = ChunkedSceneDataset(cfg.dataset, sampler, stage="test")
+
+        assert cfg.checkpointing.load, "mode=test requires checkpointing.load"
+        restored = load_checkpoint(cfg.checkpointing.load)
+        params = restored["params"] if "params" in restored else restored
+
+        eval_cfg = EvalConfig(
+            align_pose=cfg.test.align_pose,
+            pose_align_steps=cfg.test.pose_align_steps,
+            opt_lr=cfg.test.opt_lr,
+            save_images=cfg.test.save_image,
+            output_path=cfg.test.output_path,
+        )
+        bench = Benchmarker()
+        results = []
+        for example in dataset.epoch(0):
+            results.append(
+                evaluate_example(
+                    encoder, params, example, tuple(cfg.image_shape),
+                    cfg.decoder, eval_cfg, benchmarker=bench,
+                )
+            )
+        summary = summarize_and_dump(results, cfg.test.output_path, bench)
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    raise SystemExit(f"unknown mode {cfg.mode!r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Optimizer: two-group AdamW + warmup-cosine + clip + bad-gradient skip.
+
+TPU-native equivalent of the reference training optimizer
+(reference: src/model/model_wrapper.py:1067-1151):
+
+  * AdamW(betas=(0.9, 0.95), weight_decay=0.05) with newly-initialized heads
+    (gaussian_param_head*, intrinsic_encoder, pose_head*, camera_head) at
+    `lr` and pretrained backbone params at `lr * backbone_lr_multiplier`,
+  * linear warmup (1/warm_up -> 1) then cosine decay to
+    `lr * min_lr_multiplier`,
+  * global-norm clip 0.5,
+  * skip-step on NaN or too-large gradients (the reference's manual
+    optimizer_step), implemented as a gradient transform so it stays inside
+    the jitted update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 1e-4
+    warm_up_steps: int = 2000
+    max_steps: int = 300_001
+    backbone_lr_multiplier: float = 0.1
+    min_lr_multiplier: float = 0.01
+    weight_decay: float = 0.05
+    b1: float = 0.9
+    b2: float = 0.95
+    grad_clip: float = 0.5
+    max_grad_skip: float = 5.0  # 20 for VGGT (reference line 1121)
+
+
+NEW_PARAM_KEYWORDS = (
+    "gaussian_param_head",
+    "intrinsic_encoder",
+    "pose_head",
+    "camera_head",
+)
+
+
+def _param_labels(params) -> dict:
+    """'new' for freshly-initialized heads, 'pretrained' for the rest."""
+
+    def label(path):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        return "new" if any(k in path_str for k in NEW_PARAM_KEYWORDS) else "pretrained"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
+
+
+class SkipState(NamedTuple):
+    inner: optax.OptState
+    skipped_count: jax.Array
+    last_max_grad: jax.Array
+
+
+def skip_bad_gradients(
+    inner: optax.GradientTransformation, max_abs: float
+) -> optax.GradientTransformation:
+    """Zero the update (and keep inner state unchanged) on NaN/huge grads."""
+
+    def init_fn(params):
+        return SkipState(
+            inner.init(params), jnp.zeros((), jnp.int32), jnp.zeros(())
+        )
+
+    def update_fn(updates, state, params=None, **kw):
+        leaves = jax.tree.leaves(updates)
+        finite = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves])
+        )
+        max_grad = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
+        ok = finite & (max_grad <= max_abs)
+
+        new_updates, new_inner = inner.update(
+            jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), updates),
+            state.inner,
+            params,
+            **kw,
+        )
+        # On a skipped step keep the inner optimizer state frozen.
+        new_inner = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old)
+            if isinstance(new, jnp.ndarray) and new.shape == old.shape
+            else new,
+            new_inner,
+            state.inner,
+        )
+        new_updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), new_updates
+        )
+        return new_updates, SkipState(
+            new_inner, state.skipped_count + (1 - ok.astype(jnp.int32)), max_grad
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_schedule(cfg: OptimizerConfig, multiplier: float = 1.0):
+    peak = cfg.lr * multiplier
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(
+                peak / cfg.warm_up_steps, peak, cfg.warm_up_steps
+            ),
+            optax.cosine_decay_schedule(
+                peak,
+                max(cfg.max_steps - cfg.warm_up_steps, 1),
+                alpha=cfg.min_lr_multiplier,
+            ),
+        ],
+        [cfg.warm_up_steps],
+    )
+
+
+def make_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
+    def adamw(multiplier):
+        return optax.adamw(
+            make_schedule(cfg, multiplier),
+            b1=cfg.b1,
+            b2=cfg.b2,
+            weight_decay=cfg.weight_decay,
+        )
+
+    labels = _param_labels(params)
+    inner = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {"new": adamw(1.0), "pretrained": adamw(cfg.backbone_lr_multiplier)},
+            labels,
+        ),
+    )
+    return skip_bad_gradients(inner, cfg.max_grad_skip)

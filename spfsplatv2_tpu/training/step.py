@@ -1,0 +1,189 @@
+"""Jitted training step: encoder -> render -> losses -> AdamW update.
+
+TPU-native equivalent of the reference training loop body
+(reference: src/model/model_wrapper.py:189-370 + optimizer_step 1113-1151),
+as one functional `train_step` compiled by XLA. The NaN/large-grad skip and
+clipping live inside the optimizer (training/optim.py), so the whole update
+is a single device computation with no host sync.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from spfsplatv2_tpu.geometry import se3
+from spfsplatv2_tpu.losses.lpips import lpips_loss
+from spfsplatv2_tpu.losses.mse import mse_loss
+from spfsplatv2_tpu.losses.reproj import ReprojConfig, reproj_loss
+from spfsplatv2_tpu.models.decoder import DecoderConfig, decode_splatting
+from spfsplatv2_tpu.models.encoder import SPFSplatV2Encoder
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    mse_weight: float = 1.0
+    lpips_weight: float = 0.05
+    lpips_apply_after_step: int = 0
+    reproj: ReprojConfig = field(default_factory=ReprojConfig)
+    use_lpips: bool = True
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def psnr(prediction: jax.Array, target: jax.Array) -> jax.Array:
+    mse = jnp.mean((prediction - target) ** 2, axis=(-1, -2, -3))
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def compute_losses(
+    encoder: SPFSplatV2Encoder,
+    params,
+    batch: dict,
+    global_step,
+    image_shape: tuple[int, int],
+    decoder_cfg: DecoderConfig,
+    loss_cfg: LossConfig,
+    lpips_params=None,
+    training_context: bool = False,
+):
+    """Forward + all training losses. Returns (total_loss, metrics dict)."""
+    ctx, tgt = batch["context"], batch["target"]
+    v_cxt = ctx["image"].shape[1]
+
+    enc_out = encoder.apply(
+        params,
+        ctx["image"], ctx["intrinsics"], tgt["image"], tgt["intrinsics"],
+        global_step=global_step,
+    )
+
+    if enc_out["extrinsics_cwt"] is not None:
+        extrinsics_all = enc_out["extrinsics_cwt"]
+        target_extrinsics = extrinsics_all[:, v_cxt:]
+        context_extrinsics = extrinsics_all[:, :v_cxt]
+    else:
+        target_extrinsics = tgt["extrinsics"]
+        context_extrinsics = ctx["extrinsics"]
+
+    if training_context:
+        render_extr = jnp.concatenate([context_extrinsics, target_extrinsics], 1)
+        render_intr = jnp.concatenate([ctx["intrinsics"], tgt["intrinsics"]], 1)
+        near = jnp.concatenate([ctx["near"], tgt["near"]], 1)
+        far = jnp.concatenate([ctx["far"], tgt["far"]], 1)
+        target_gt = jnp.concatenate([ctx["image"], tgt["image"]], 1)
+    else:
+        render_extr, render_intr = target_extrinsics, tgt["intrinsics"]
+        near, far, target_gt = tgt["near"], tgt["far"], tgt["image"]
+
+    dec_out = decode_splatting(
+        enc_out["gaussians"], render_extr, render_intr, near, far,
+        image_shape, decoder_cfg,
+    )
+
+    b, v = target_gt.shape[:2]
+    pred_flat = dec_out.color.reshape(b * v, *dec_out.color.shape[2:])
+    gt_flat = target_gt.reshape(b * v, *target_gt.shape[2:])
+
+    metrics = {}
+    total = mse_loss(pred_flat, gt_flat, loss_cfg.mse_weight)
+    metrics["loss/mse"] = total
+
+    if loss_cfg.use_lpips and lpips_params is not None:
+        lp = lpips_loss(lpips_params, pred_flat, gt_flat, loss_cfg.lpips_weight)
+        if loss_cfg.lpips_apply_after_step > 0:
+            lp = jnp.where(
+                global_step >= loss_cfg.lpips_apply_after_step, lp, 0.0
+            )
+        metrics["loss/lpips"] = lp
+        total = total + lp
+
+    # Reprojection consistency on predicted context poses
+    # (reference model_wrapper.py:280-319, spfsplatv2 branch).
+    if enc_out["extrinsics_cwt"] is not None:
+        pts3d = enc_out["pts3d"]
+        c1 = reproj_loss(
+            pts3d[:, 0], context_extrinsics[:, 0], ctx["intrinsics"][:, 0],
+            global_step, loss_cfg.reproj,
+        )
+        c2 = 0.0
+        for i in range(1, v_cxt):
+            c2 = c2 + reproj_loss(
+                pts3d[:, i], context_extrinsics[:, i], ctx["intrinsics"][:, i],
+                global_step, loss_cfg.reproj,
+            )
+        c2 = c2 / v_cxt
+        metrics["loss/reproj_c1"] = c1
+        metrics["loss/reproj_c2"] = c2
+        total = total + c1 + c2
+
+        # Pose-error telemetry vs GT (not a loss).
+        if "extrinsics" in ctx:
+            rot_err = se3.rotation_angle_deg(
+                context_extrinsics[:, v_cxt - 1, :3, :3],
+                ctx["extrinsics"][:, v_cxt - 1, :3, :3],
+            )
+            tr_err = se3.translation_angle_deg(
+                context_extrinsics[:, v_cxt - 1, :3, 3],
+                ctx["extrinsics"][:, v_cxt - 1, :3, 3],
+            )
+            metrics["pose/context_rot_deg"] = jnp.mean(rot_err)
+            metrics["pose/context_transl_deg"] = jnp.mean(tr_err)
+
+    metrics["loss/total"] = total
+    metrics["train/psnr"] = jnp.mean(psnr(pred_flat, gt_flat))
+    return total, metrics
+
+
+def make_train_step(
+    encoder: SPFSplatV2Encoder,
+    optimizer: optax.GradientTransformation,
+    image_shape: tuple[int, int],
+    decoder_cfg: DecoderConfig = DecoderConfig(),
+    loss_cfg: LossConfig = LossConfig(),
+    lpips_params=None,
+    training_context: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: dict):
+        def loss_fn(params):
+            return compute_losses(
+                encoder, params, batch, state.step, image_shape,
+                decoder_cfg, loss_cfg, lpips_params, training_context,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad/max"] = opt_state.last_max_grad
+        metrics["grad/skipped_steps"] = opt_state.skipped_count
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(encoder, optimizer, params) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
