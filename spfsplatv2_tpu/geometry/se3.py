@@ -121,29 +121,40 @@ def skew(v: jax.Array) -> jax.Array:
 
 
 def so3_exp(theta: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Rodrigues exponential map: (..., 3) axis-angle -> (..., 3, 3)."""
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)[..., None]
+    """Rodrigues exponential map: (..., 3) axis-angle -> (..., 3, 3).
+
+    Differentiable at theta = 0 (double-where on the squared norm keeps the
+    sqrt out of the gradient path near zero — plain norm() has a NaN grad
+    at the origin, which is exactly where test-time pose alignment starts).
+    """
+    sq = jnp.sum(theta**2, axis=-1, keepdims=True)[..., None]
+    small = sq < 1e-10
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
     w = skew(theta)
     w2 = w @ w
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), w.shape)
-    small = angle < 1e-5
-    safe = jnp.where(small, 1.0, angle)
-    a = jnp.where(small, 1.0, jnp.sin(safe) / safe)
-    b = jnp.where(small, 0.5, (1 - jnp.cos(safe)) / (safe**2))
+    a = jnp.where(small, 1.0, jnp.sin(angle) / angle)
+    b = jnp.where(small, 0.5, (1 - jnp.cos(angle)) / jnp.where(small, 1.0, sq))
     return eye + a * w + b * w2
 
 
 def se3_exp(tau: jax.Array) -> jax.Array:
-    """(..., 6) [rho, theta] -> (..., 4, 4) SE3 matrix."""
+    """(..., 6) [rho, theta] -> (..., 4, 4) SE3 matrix.
+
+    Differentiable at tau = 0 (see so3_exp).
+    """
     rho, theta = tau[..., :3], tau[..., 3:]
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)[..., None]
+    sq = jnp.sum(theta**2, axis=-1, keepdims=True)[..., None]
+    small = sq < 1e-10
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
     w = skew(theta)
     w2 = w @ w
     eye = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), w.shape)
-    small = angle < 1e-5
-    safe = jnp.where(small, 1.0, angle)
-    b = jnp.where(small, 0.5, (1 - jnp.cos(safe)) / (safe**2))
-    c = jnp.where(small, 1.0 / 6.0, (safe - jnp.sin(safe)) / (safe**3))
+    b = jnp.where(small, 0.5, (1 - jnp.cos(angle)) / safe_sq)
+    c = jnp.where(
+        small, 1.0 / 6.0, (angle - jnp.sin(angle)) / (safe_sq * angle)
+    )
     v = eye + b * w + c * w2
     r = so3_exp(theta)
     t = (v @ rho[..., None])[..., 0]

@@ -61,6 +61,10 @@ class SPFSplatV2Config:
         default_factory=OpacityMappingConfig
     )
     sh_degree: int = 4
+    # DPT head sizes (shrink for tests; defaults match the reference).
+    dpt_feature_dim: int = 256
+    dpt_last_dim: int = 128
+    dpt_layer_dims: tuple[int, ...] = (96, 192, 384, 768)
     estimating_pose: bool = True
     pose_make_baseline_1: bool = False
     pose_make_relative: bool = True
@@ -125,7 +129,11 @@ class SPFSplatV2Encoder(nn.Module):
 
         # ---- pointmap heads (context views only) -------------------------
         raw_pts = self._run_dual_heads(
-            lambda s: DPTHead(out_channels=3, name=f"downstream_head{s}"),
+            lambda s: DPTHead(
+                out_channels=3, feature_dim=cfg.dpt_feature_dim,
+                last_dim=cfg.dpt_last_dim, layer_dims=cfg.dpt_layer_dims,
+                name=f"downstream_head{s}",
+            ),
             ctx_feat, grid,
         )
         pts3d = pts3d_postprocess(raw_pts, mode="exp")  # (b, v_cxt, h, w, 3)
@@ -134,7 +142,11 @@ class SPFSplatV2Encoder(nn.Module):
         gs_dim = raw_gaussian_channels(cfg.sh_degree)
         ctx_images_norm = images[:, :v_cxt]
         raw_gs = self._run_dual_heads(
-            lambda s: DPTGSHead(out_channels=gs_dim, name=f"gaussian_param_head{s}"),
+            lambda s: DPTGSHead(
+                out_channels=gs_dim, feature_dim=cfg.dpt_feature_dim,
+                layer_dims=cfg.dpt_layer_dims,
+                name=f"gaussian_param_head{s}",
+            ),
             ctx_feat, grid, extra=ctx_images_norm,
         )  # (b, v_cxt, h, w, 83)
 

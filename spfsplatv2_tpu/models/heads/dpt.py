@@ -111,10 +111,14 @@ class DPTHead(nn.Module):
     out_channels: int = 3
     feature_dim: int = 256
     last_dim: int = 128
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
 
     @nn.compact
     def __call__(self, hooked_tokens, grid):
-        x = DPTCore(feature_dim=self.feature_dim, name="core")(hooked_tokens, grid)
+        x = DPTCore(
+            layer_dims=self.layer_dims, feature_dim=self.feature_dim,
+            name="core",
+        )(hooked_tokens, grid)
         x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, name="head_conv1")(x)
         x = resize_bilinear(
             x, (2 * x.shape[-3], 2 * x.shape[-2]), align_corners=True
@@ -133,11 +137,15 @@ class DPTGSHead(nn.Module):
 
     out_channels: int
     feature_dim: int = 256
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
 
     @nn.compact
     def __call__(self, hooked_tokens, grid, image):
         """image: (b, h, w, 3) normalized input at full resolution."""
-        x = DPTCore(feature_dim=self.feature_dim, name="core")(hooked_tokens, grid)
+        x = DPTCore(
+            layer_dims=self.layer_dims, feature_dim=self.feature_dim,
+            name="core",
+        )(hooked_tokens, grid)
         x = resize_bilinear(
             x, (2 * x.shape[-3], 2 * x.shape[-2]), align_corners=True
         )

@@ -1,0 +1,533 @@
+"""Hand-written Pallas TPU kernels for per-tile Gaussian compositing.
+
+This is the TPU-native replacement for the hot inner loops of the reference
+CUDA rasterizer (`diff_gauss_pose` renderCUDA forward/backward; call surface
+reference src/model/decoder/cuda_splatting.py:45-144). The surrounding
+stages (EWA projection, duplicate-and-sort binning) stay in XLA
+(raster_common.py / raster_tiled.py) — dense, fast, differentiable there;
+the kernels here replace only the per-tile front-to-back blending, which
+XLA schedules poorly.
+
+Data layout (chosen for Mosaic DMA alignment): depth-sorted per-tile entry
+attributes are pre-gathered into a TRANSPOSED buffer `attrs_t (FEAT, E_cap)`
+with rows [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity, depth, ...];
+each tile's segment is padded to a multiple of the kernel chunk so every DMA
+reads a (FEAT, chunk) block at a chunk-aligned column offset. Field rows are
+then directly the (1, chunk) broadcast vectors the math needs — no in-kernel
+reshapes or transposes. The invalid-tile sentinel tail of the sort never
+enters the buffer (E_cap = n_tiles * max_per_tile).
+
+Forward kernel (grid = tiles): double-buffered DMA of entry chunks
+HBM -> VMEM; per chunk a (256 pixels x chunk) alpha matrix on the VPU; the
+front-to-back recurrence closes with a log-space prefix sum along the chunk
+axis (Mosaic has no cumsum — built from pltpu.roll shifts); color/depth
+accumulate as MXU contractions; the loop exits early once every pixel's
+transmittance passes the 1e-4 stop (exact CUDA break semantics — an entry
+is composited iff T stays >= 1e-4).
+
+Backward kernel: re-traverses entries front-to-back and converts output
+cotangents into per-ENTRY gradients with the suffix identity
+  dL/d(alpha_i) = T_i * u_i - S_i / (1 - alpha_i),
+  S_i = phi - sum_{j<=i} w_j u_j,  phi = C.gC + D.gD - T_fin.gA,
+so no back-to-front traversal or atomics are needed (the CUDA backward uses
+atomics; the forward-prefix formulation keeps everything dense). Per-entry
+gradients land in exclusive slots of `dattrs_t` and are segment-summed back
+to per-gaussian gradients by XLA's scatter-add through the gather VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spfsplatv2_tpu.ops.raster_common import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    T_EPS,
+    ProjectedGaussians,
+)
+from spfsplatv2_tpu.ops.raster_tiled import TILE, PIX_PER_TILE, TileBins
+
+FEAT = 16  # padded field count (10 used)
+
+
+def _prefix_sum_lanes(x: jax.Array, n: int) -> jax.Array:
+    """Inclusive prefix sum along the last (lane) axis via log2(n) shifts.
+
+    Mosaic has no cumsum lowering; built from pltpu.roll + masking.
+    """
+    assert n & (n - 1) == 0, f"chunk size {n} must be a power of two"
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= k, shifted, 0.0)
+        k *= 2
+    return x
+
+
+def _pixel_grid(tile_idx, tiles_x, dtype=jnp.float32):
+    ty = (tile_idx // tiles_x).astype(dtype)
+    tx = (tile_idx % tiles_x).astype(dtype)
+    local_y = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, 1), 0) // TILE
+    local_x = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, 1), 0) % TILE
+    px = tx * TILE + local_x.astype(dtype)
+    py = ty * TILE + local_y.astype(dtype)
+    return px, py  # each (PIX_PER_TILE, 1)
+
+
+def _chunk_alpha(attrs, px, py, valid):
+    """attrs (FEAT, chunk); px/py (P, 1); valid (1, chunk) -> alpha (P, chunk)."""
+    mx = attrs[0:1, :]
+    my = attrs[1:2, :]
+    ca = attrs[2:3, :]
+    cb = attrs[3:4, :]
+    cc = attrs[4:5, :]
+    op = attrs[8:9, :]
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
+    return jnp.where(keep, alpha, 0.0), dx, dy
+
+
+def _composite_chunk(attrs, px, py, valid, t_carry, chunk):
+    """Shared forward-recurrence math. Returns (alpha, dx, dy, w, t_new)."""
+    alpha, dx, dy = _chunk_alpha(attrs, px, py, valid)
+    logom = jnp.log1p(-alpha)
+    t_incl = t_carry * jnp.exp(_prefix_sum_lanes(logom, chunk))
+    composited = t_incl >= T_EPS
+    t_excl = jnp.concatenate([t_carry, t_incl[:, :-1]], axis=1)
+    w = jnp.where(composited, alpha * t_excl, 0.0)
+    t_new = t_carry * jnp.exp(
+        jnp.sum(jnp.where(composited, logom, 0.0), axis=1, keepdims=True)
+    )
+    return alpha, dx, dy, w, t_excl, composited, t_new
+
+
+def _forward_kernel(
+    starts_ref,      # SMEM (n_tiles + 1,) aligned segment starts
+    counts_ref,      # SMEM (n_tiles,) REAL entry counts
+    attrs_hbm,       # ANY (FEAT, E_cap)
+    out_ref,         # VMEM (1, PIX_PER_TILE, 8)
+    scratch,         # VMEM (2, FEAT, chunk)
+    sems,            # DMA sems (2,)
+    *,
+    chunk: int,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    n_ch = pl.cdiv(count, chunk)
+
+    px, py = _pixel_grid(t, tiles_x)
+
+    def dma(slot, c):
+        offset = pl.multiple_of(start + c * chunk, 128)
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(offset, chunk)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_ch > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(carry):
+        c, t_carry, color, depth = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        attrs = scratch[slot]
+        entry_idx = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk), 1
+        )
+        valid = entry_idx < count
+        alpha, _, _, w, _, _, t_carry = _composite_chunk(
+            attrs, px, py, valid, t_carry, chunk
+        )
+        # color += w @ rgb^T ; depth += w @ z^T  (contract the chunk axis).
+        cd = attrs[5:13, :]  # rows: r g b op z pad pad pad
+        contrib = jax.lax.dot_general(
+            w, cd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, 8)
+        color = color + contrib[:, 0:3]
+        depth = depth + contrib[:, 4:5]
+        return c + 1, t_carry, color, depth
+
+    def cond(carry):
+        c, t_carry, _, _ = carry
+        return (c < n_ch) & (jnp.max(t_carry) >= T_EPS)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((PIX_PER_TILE, 1), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, 3), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, 1), jnp.float32),
+    )
+    _, t_fin, color, depth = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0, :, 0:3] = color
+    out_ref[0, :, 3:4] = depth
+    out_ref[0, :, 4:5] = 1.0 - t_fin
+    out_ref[0, :, 5:6] = t_fin
+    out_ref[0, :, 6:8] = jnp.zeros((PIX_PER_TILE, 2), jnp.float32)
+
+
+def _backward_kernel(
+    starts_ref,      # SMEM (n_tiles + 1,)
+    counts_ref,      # SMEM (n_tiles,)
+    attrs_hbm,       # ANY (FEAT, E_cap)
+    fwd_out_ref,     # VMEM (1, PIX_PER_TILE, 8)
+    grads_ref,       # VMEM (1, PIX_PER_TILE, 8)
+    dattrs_hbm,      # OUT ANY (FEAT, E_cap)
+    scratch,         # VMEM (2, FEAT, chunk)
+    dscratch,        # VMEM (FEAT, chunk)
+    sems,            # DMA sems (2,)
+    outsem,          # DMA sem
+    *,
+    chunk: int,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    # Write EVERY padded chunk of this segment (zeros where not computed);
+    # segments tile E_cap disjointly, so slots stay exclusive.
+    seg_len = starts_ref[t + 1] - start
+    n_ch_pad = pl.cdiv(seg_len, chunk)
+    n_ch = pl.cdiv(count, chunk)
+
+    px, py = _pixel_grid(t, tiles_x)
+
+    g_c = grads_ref[0, :, 0:3]
+    g_d = grads_ref[0, :, 3:4]
+    g_a = grads_ref[0, :, 4:5]
+    color_out = fwd_out_ref[0, :, 0:3]
+    depth_out = fwd_out_ref[0, :, 3:4]
+    t_fin = fwd_out_ref[0, :, 5:6]
+
+    phi = (
+        jnp.sum(color_out * g_c, axis=1, keepdims=True)
+        + depth_out * g_d
+        - t_fin * g_a
+    )
+
+    def dma(slot, c):
+        offset = pl.multiple_of(start + c * chunk, 128)
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(offset, chunk)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    def write_out(c):
+        offset = pl.multiple_of(start + c * chunk, 128)
+        out_dma = pltpu.make_async_copy(
+            dscratch,
+            dattrs_hbm.at[:, pl.ds(offset, chunk)],
+            outsem,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+    @pl.when(n_ch > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(carry):
+        c, t_carry, s_rem = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        attrs = scratch[slot]
+        entry_idx = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk), 1
+        )
+        valid = entry_idx < count
+        alpha, dx, dy, w, t_excl, composited, t_new = _composite_chunk(
+            attrs, px, py, valid, t_carry, chunk
+        )
+
+        # u_i(p) = rgb_i . gC(p) + z_i gD(p): contract the field axis.
+        cd = attrs[5:13, :]
+        gcat = jnp.concatenate(
+            [g_c, jnp.zeros_like(g_d), g_d,
+             jnp.zeros((PIX_PER_TILE, 3), jnp.float32)],
+            axis=1,
+        )  # (P, 8) matching cd rows r g b op z pad pad pad
+        u = jax.lax.dot_general(
+            gcat, cd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, chunk)
+
+        wu = w * u
+        prefix_incl = _prefix_sum_lanes(wu, chunk)
+        s_before = s_rem - (prefix_incl - wu)
+        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = jnp.where(
+            composited, t_excl * u - (s_before - wu) / one_minus, 0.0
+        )
+
+        dpow = alpha * dalpha
+        clamped = alpha >= ALPHA_MAX
+        dpow = jnp.where(clamped, 0.0, dpow)
+        op = jnp.maximum(attrs[8:9, :], 1e-9)
+        dop_px = jnp.where(clamped, 0.0, (alpha / op) * dalpha)
+
+        ca = attrs[2:3, :]
+        cb = attrs[3:4, :]
+        cc = attrs[4:5, :]
+
+        def rowsum(x):  # (P, chunk) -> (1, chunk)
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        d_mx = rowsum((ca * dx + cb * dy) * dpow)
+        d_my = rowsum((cc * dy + cb * dx) * dpow)
+        d_ca = rowsum(-0.5 * dx * dx * dpow)
+        d_cb = rowsum(-dx * dy * dpow)
+        d_cc = rowsum(-0.5 * dy * dy * dpow)
+        d_op = rowsum(dop_px)
+        # dcolor rows (3, chunk) and ddepth row: contract the pixel axis.
+        d_col = jax.lax.dot_general(
+            g_c, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, chunk)
+        d_dep = jax.lax.dot_general(
+            g_d, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, chunk)
+
+        vmask = valid.astype(jnp.float32)
+        dscratch[0:1, :] = d_mx * vmask
+        dscratch[1:2, :] = d_my * vmask
+        dscratch[2:3, :] = d_ca * vmask
+        dscratch[3:4, :] = d_cb * vmask
+        dscratch[4:5, :] = d_cc * vmask
+        dscratch[5:8, :] = d_col * vmask
+        dscratch[8:9, :] = d_op * vmask
+        dscratch[9:10, :] = d_dep * vmask
+        dscratch[10:16, :] = jnp.zeros((6, chunk), jnp.float32)
+        write_out(c)
+
+        s_rem = s_rem - jnp.sum(wu, axis=1, keepdims=True)
+        return c + 1, t_new, s_rem
+
+    def cond(carry):
+        c, t_carry, _ = carry
+        return (c < n_ch) & (jnp.max(t_carry) >= T_EPS)
+
+    c_exit, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros((), jnp.int32), jnp.ones((PIX_PER_TILE, 1), jnp.float32),
+         phi),
+    )
+
+    # Chunks never visited (early exit or alignment padding) still need
+    # their gradient slots zeroed — the output buffer is uninitialized.
+    @pl.when(c_exit < n_ch_pad)
+    def _():
+        dscratch[:, :] = jnp.zeros((FEAT, chunk), jnp.float32)
+
+    def zero_body(c, _):
+        write_out(c)
+        return _
+
+    jax.lax.fori_loop(c_exit, n_ch_pad, zero_body, None)
+
+
+def align_bins(
+    bins: TileBins, chunk: int, max_per_tile: int, n_gauss: int
+):
+    """Re-pack sorted entries into chunk-aligned disjoint tile segments.
+
+    Returns (ids_aligned (E_cap,), seg_starts (n_tiles + 1,),
+    counts (n_tiles,)) with E_cap = n_tiles * max_per_tile static. Padding
+    slots point at the dummy gaussian row (index n_gauss).
+    """
+    tiles_y, tiles_x = bins.num_tiles_xy
+    n_tiles = tiles_y * tiles_x
+    e_cap = n_tiles * max_per_tile
+
+    starts = bins.tile_starts[:-1]
+    counts = jnp.minimum(
+        bins.tile_starts[1:] - bins.tile_starts[:-1], max_per_tile
+    )
+    padded = jnp.minimum(-(-counts // chunk) * chunk, max_per_tile)
+    seg_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+
+    j = jnp.arange(e_cap, dtype=jnp.int32)
+    tile = jnp.searchsorted(seg_starts, j, side="right").astype(jnp.int32) - 1
+    tile = jnp.clip(tile, 0, n_tiles - 1)
+    offset = j - seg_starts[tile]
+    src = starts[tile] + offset
+    valid = (offset < counts[tile]) & (j < seg_starts[n_tiles])
+    ids = jnp.where(
+        valid,
+        bins.ids_sorted[jnp.minimum(src, bins.ids_sorted.shape[0] - 1)],
+        n_gauss,
+    )
+    return ids, seg_starts, counts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite_core(attrs_t, seg_starts, counts, num_tiles_xy, chunk,
+                    interpret):
+    tiles_y, tiles_x = num_tiles_xy
+    n_tiles = tiles_y * tiles_x
+    kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX_PER_TILE, 8), jnp.float32),
+        interpret=interpret,
+    )(seg_starts, counts, attrs_t)
+
+
+def _composite_core_fwd(attrs_t, seg_starts, counts, num_tiles_xy, chunk,
+                        interpret):
+    out = _composite_core(
+        attrs_t, seg_starts, counts, num_tiles_xy, chunk, interpret
+    )
+    return out, (attrs_t, seg_starts, counts, out)
+
+
+def _composite_core_bwd(num_tiles_xy, chunk, interpret, residuals, g):
+    attrs_t, seg_starts, counts, fwd_out = residuals
+    tiles_y, tiles_x = num_tiles_xy
+    n_tiles = tiles_y * tiles_x
+    grads = jnp.concatenate(
+        [g[..., 0:3], g[..., 3:4], g[..., 4:5], jnp.zeros_like(g[..., 5:8])],
+        axis=-1,
+    )
+    kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dattrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seg_starts, counts, attrs_t, fwd_out, grads)
+    # The region past the last segment belongs to no tile; zero it.
+    e_cap = attrs_t.shape[1]
+    in_use = (
+        jnp.arange(e_cap, dtype=jnp.int32)[None, :] < seg_starts[-1]
+    )
+    return jnp.where(in_use, dattrs, 0.0), None, None
+
+
+_composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
+def composite_pallas(
+    proj: ProjectedGaussians,
+    bins: TileBins,
+    image_shape: tuple[int, int],
+    background: jax.Array,
+    chunk: int = 256,
+    max_per_tile: int = 4096,
+    interpret: bool | None = None,
+):
+    """Drop-in replacement for raster_tiled.composite_tiles."""
+    h, w = image_shape
+    tiles_y, tiles_x = bins.num_tiles_xy
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert max_per_tile % chunk == 0
+    if not interpret:
+        # Mosaic's divisibility proof for HBM column offsets (pl.multiple_of)
+        # requires chunk-aligned segments at >= the 128-lane tiling.
+        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    packed = jnp.concatenate(
+        [
+            proj.xy,                    # 0:2
+            proj.conic,                 # 2:5
+            proj.color,                 # 5:8
+            proj.opacity[:, None],      # 8
+            depth_safe[:, None],        # 9
+            jnp.zeros((proj.xy.shape[0], FEAT - 10), proj.xy.dtype),
+        ],
+        axis=-1,
+    )
+    dummy = jnp.zeros((1, FEAT), packed.dtype).at[0, 0:2].set(-1e9)
+    packed = jnp.concatenate([packed, dummy], axis=0)
+    n_gauss = proj.xy.shape[0]
+
+    ids, seg_starts, counts = align_bins(bins, chunk, max_per_tile, n_gauss)
+    attrs_t = packed[ids].T  # differentiable gather -> (FEAT, E_cap)
+
+    out = _composite_core(
+        attrs_t, seg_starts, counts, (tiles_y, tiles_x), chunk, interpret
+    )  # (n_tiles, P, 8)
+
+    color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
+    depth_t = out[..., 3]
+    alpha_t = out[..., 4]
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
+        return x[:h, :w]
+
+    return (
+        untile(color_t),
+        untile(depth_t[..., None])[..., 0],
+        untile(alpha_t[..., None])[..., 0],
+    )

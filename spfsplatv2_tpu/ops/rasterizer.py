@@ -66,7 +66,8 @@ def _render_one(
 
         bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
         color, depth, alpha = composite_pallas(
-            proj, bins, image_shape, background, chunk=cfg.chunk
+            proj, bins, image_shape, background, chunk=cfg.chunk,
+            max_per_tile=cfg.max_per_tile,
         )
     else:
         raise ValueError(f"unknown rasterizer backend {cfg.backend!r}")

@@ -74,28 +74,24 @@ def skip_bad_gradients(
 
     def update_fn(updates, state, params=None, **kw):
         leaves = jax.tree.leaves(updates)
-        finite = jnp.all(
-            jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves])
-        )
         max_grad = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
-        ok = finite & (max_grad <= max_abs)
+        # NaN/Inf anywhere makes max_grad NaN/Inf, so one comparison covers
+        # both the non-finite and too-large cases.
+        ok = max_grad <= max_abs
 
-        new_updates, new_inner = inner.update(
-            jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), updates),
-            state.inner,
-            params,
-            **kw,
-        )
-        # On a skipped step keep the inner optimizer state frozen.
-        new_inner = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old)
-            if isinstance(new, jnp.ndarray) and new.shape == old.shape
-            else new,
-            new_inner,
-            state.inner,
-        )
-        new_updates = jax.tree.map(
-            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), new_updates
+        # lax.cond keeps the skip to two branches (apply vs identity) —
+        # per-leaf selects over the optimizer state make the XLA CPU
+        # compile pathologically slow (minutes) at ViT parameter counts.
+        def do_update(operand):
+            upd, inner_state = operand
+            return inner.update(upd, inner_state, params, **kw)
+
+        def no_update(operand):
+            upd, inner_state = operand
+            return jax.tree.map(jnp.zeros_like, upd), inner_state
+
+        new_updates, new_inner = jax.lax.cond(
+            ok, do_update, no_update, (updates, state.inner)
         )
         return new_updates, SkipState(
             new_inner, state.skipped_count + (1 - ok.astype(jnp.int32)), max_grad

@@ -1,0 +1,216 @@
+"""Tests for auxiliary components: distiller, Regr3D, PnP, camera
+embeddings, focal estimation, pose alignment, video, index generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestPnP:
+    def _scene(self, seed=0, n=400, noise=0.0, outliers=0):
+        rng = np.random.default_rng(seed)
+        from scipy.spatial.transform import Rotation
+
+        rot = Rotation.from_euler("yxz", [20, -5, 8], degrees=True).as_matrix()
+        t = np.asarray([0.2, -0.3, 0.6])
+        pts = rng.uniform(-1, 1, (n, 3))
+        pts[:, 2] += 4
+        cam = (rot @ pts.T).T + t
+        k = np.asarray([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+        px = (k[:2, :2] @ (cam[:, :2] / cam[:, 2:]).T).T + k[:2, 2]
+        px[:outliers] += rng.uniform(-80, 80, (outliers, 2))
+        px += rng.normal(0, noise, px.shape)
+        return pts, px, k, rot, t
+
+    @pytest.mark.parametrize("backend", ["native", "cv2"])
+    def test_recovers_pose(self, backend):
+        from spfsplatv2_tpu.utils.pnp import pnp_ransac
+
+        pts, px, k, rot, t = self._scene(outliers=40, noise=0.3)
+        ok, c2w = pnp_ransac(pts, px, k, backend=backend)
+        assert ok
+        w2c = np.linalg.inv(c2w)
+        rot_err = np.degrees(
+            np.arccos(np.clip((np.trace(w2c[:3, :3] @ rot.T) - 1) / 2, -1, 1))
+        )
+        assert rot_err < 0.5
+        assert np.linalg.norm(w2c[:3, 3] - t) < 0.02
+
+    def test_pointmap_interface(self):
+        from spfsplatv2_tpu.utils.pnp import pnp_pose_from_pointmap
+
+        # Identity camera viewing a synthetic pointmap.
+        h = w = 24
+        k = np.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]], np.float32)
+        ys, xs = np.mgrid[:h, :w]
+        z = 2.0 + 0.1 * np.sin(xs / 3)
+        x = (xs + 0.5 - 0.5 * w) / w * z / 1.0
+        y = (ys + 0.5 - 0.5 * h) / h * z / 1.0
+        pts3d = np.stack([x, y, z], -1).astype(np.float32)
+        opacity = np.ones((h, w), np.float32)
+        c2w = pnp_pose_from_pointmap(pts3d, opacity, k)
+        np.testing.assert_allclose(c2w, np.eye(4), atol=5e-2)
+
+
+class TestFocalEstimation:
+    def test_recovers_known_focal(self):
+        from spfsplatv2_tpu.geometry.intrinsics import (
+            estimate_focal_from_pointmap,
+            estimate_intrinsics,
+        )
+
+        h = w = 32
+        f_px = 40.0
+        rng = np.random.default_rng(0)
+        ys, xs = np.mgrid[:h, :w]
+        z = rng.uniform(1.0, 5.0, (h, w))
+        x = (xs - w / 2) * z / f_px
+        y = (ys - h / 2) * z / f_px
+        pts = jnp.asarray(np.stack([x, y, z], -1, dtype=np.float32))[None]
+        focal = estimate_focal_from_pointmap(pts)
+        np.testing.assert_allclose(float(focal[0]), f_px, rtol=0.02)
+        k = estimate_intrinsics(pts[None])
+        np.testing.assert_allclose(float(k[0, 0, 0]), f_px / w, rtol=0.02)
+        np.testing.assert_allclose(float(k[0, 0, 2]), 0.5, atol=1e-6)
+
+
+class TestCameraEmbeddings:
+    def test_intrinsic_embedding_shapes(self):
+        from spfsplatv2_tpu.geometry.camera_emb import (
+            get_intrinsic_embedding,
+            get_intrinsic_positional_embedding,
+            get_plucker_embedding,
+        )
+
+        k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+        emb = get_intrinsic_embedding(k, (8, 8), degree=4)
+        assert emb.shape == (8, 8, 25)
+        pe = get_intrinsic_positional_embedding(k, (8, 8), 32)
+        assert pe.shape == (8, 8, 32)
+        pl = get_plucker_embedding(jnp.eye(4), k, (8, 8))
+        assert pl.shape == (8, 8, 6)
+        # At identity pose, plucker moment o x d = 0.
+        np.testing.assert_allclose(pl[..., :3], 0.0, atol=1e-6)
+
+
+class TestRegr3D:
+    def test_zero_for_identical(self):
+        from spfsplatv2_tpu.losses.point import regr3d_loss
+
+        pts = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3)) + 3
+        conf = jnp.full((2, 8, 8), 5.0)
+        loss = regr3d_loss(pts, pts, pts, pts, conf, conf)
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+    def test_scale_invariance(self):
+        # avg_dis normalization makes the loss scale-invariant.
+        from spfsplatv2_tpu.losses.point import regr3d_loss
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        gt = jax.random.normal(k1, (1, 8, 8, 3)) + 3
+        pr = gt + 0.1 * jax.random.normal(k2, (1, 8, 8, 3))
+        conf = jnp.full((1, 8, 8), 5.0)
+        l1 = regr3d_loss(gt, gt, pr, pr, conf, conf)
+        l2 = regr3d_loss(gt * 7, gt * 7, pr * 7, pr * 7, conf, conf)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+
+    def test_low_conf_ignored(self):
+        from spfsplatv2_tpu.losses.point import regr3d_loss
+
+        gt = jnp.ones((1, 4, 4, 3))
+        pr = jnp.ones((1, 4, 4, 3))
+        bad = gt.at[0, 0, 0].set(100.0)
+        conf = jnp.full((1, 4, 4), 5.0).at[0, 0, 0].set(1.0)  # below 3
+        loss = regr3d_loss(gt, gt, bad, pr, conf, conf)
+        assert float(loss) < 1e-4
+
+
+class TestDistiller:
+    def test_forward(self):
+        from spfsplatv2_tpu.models.croco.backbone import CrocoBackboneConfig
+        from spfsplatv2_tpu.models.distiller import DistillerConfig, Dust3RDistiller
+
+        cfg = DistillerConfig(
+            backbone=CrocoBackboneConfig(
+                enc_depth=2, enc_embed_dim=64, enc_num_heads=4, dec_depth=4,
+                dec_embed_dim=48, dec_num_heads=4, intrinsics_token=False,
+                pose_token=False, compute_dtype="float32",
+            )
+        )
+        model = Dust3RDistiller(cfg)
+        images = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(1), images)
+        out = model.apply(params, images)
+        assert out["pts3d"].shape == (1, 2, 32, 32, 3)
+        assert out["conf"].shape == (1, 2, 32, 32)
+        assert bool((out["conf"] >= 1.0).all())
+        # normalize=True: joint avg distance ~1
+        d = jnp.linalg.norm(out["pts3d"].reshape(-1, 3), axis=-1).mean()
+        np.testing.assert_allclose(float(d), 1.0, rtol=1e-3)
+
+
+class TestPoseAlign:
+    def test_improves_perturbed_pose(self):
+        from spfsplatv2_tpu.evaluation.pose_align import align_poses
+        from spfsplatv2_tpu.gaussians import Gaussians
+        from spfsplatv2_tpu.models.decoder import DecoderConfig, decode_splatting
+        from spfsplatv2_tpu.ops.covariance import build_covariance
+        from spfsplatv2_tpu.ops.rasterizer import RasterizerConfig
+        from spfsplatv2_tpu.geometry import se3
+
+        key = jax.random.PRNGKey(0)
+        n, h, w = 120, 32, 32
+        ks = jax.random.split(key, 5)
+        means = jnp.concatenate(
+            [jax.random.uniform(ks[0], (n, 2), minval=-0.6, maxval=0.6),
+             jax.random.uniform(ks[1], (n, 1), minval=1.5, maxval=4.0)], -1
+        )
+        scales = 0.03 + 0.04 * jax.random.uniform(ks[2], (n, 3))
+        quats = jax.random.normal(ks[3], (n, 4))
+        g = Gaussians(
+            means=means[None], covariances=build_covariance(scales, quats)[None],
+            scales=scales[None], rotations=quats[None],
+            harmonics=0.5 * jax.random.normal(ks[4], (n, 3, 1))[None],
+            opacities=jnp.full((1, n), 0.8),
+        )
+        k_mat = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+        true_pose = jnp.eye(4)[None, None]
+        intr = k_mat[None, None]
+        near = jnp.full((1, 1), 0.5)
+        far = jnp.full((1, 1), 100.0)
+        dec_cfg = DecoderConfig(
+            rasterizer=RasterizerConfig(max_per_tile=256, chunk=64)
+        )
+        target = decode_splatting(
+            g, true_pose, intr, near, far, (h, w), dec_cfg
+        ).color
+
+        # Perturb the pose and recover it through the renderer.
+        delta = jnp.asarray([0.02, -0.015, 0.01, 0.015, -0.01, 0.008])
+        bad_pose = (se3.se3_exp(delta) @ true_pose[0, 0])[None, None]
+        refined, final_loss = align_poses(
+            g, bad_pose, intr, near, far, target, (h, w), steps=60, lr=3e-3,
+            decoder_cfg=dec_cfg,
+        )
+        err_before = float(jnp.abs(bad_pose - true_pose).max())
+        err_after = float(jnp.abs(refined - true_pose).max())
+        assert err_after < 0.5 * err_before
+        assert float(final_loss) < 1e-3
+
+
+class TestIndexGenerator:
+    def test_overlap_metric(self):
+        from spfsplatv2_tpu.evaluation.index_generator import frustum_overlap
+
+        k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+        same = float(frustum_overlap(jnp.eye(4), k, jnp.eye(4), k))
+        np.testing.assert_allclose(same, 1.0, atol=1e-5)
+        from spfsplatv2_tpu.geometry import se3
+
+        # Camera rotated 120 degrees away barely overlaps.
+        far_pose = se3.pack_rt(
+            se3.so3_exp(jnp.asarray([0.0, 2.1, 0.0])), jnp.zeros(3)
+        )
+        far = float(frustum_overlap(jnp.eye(4), k, far_pose, k))
+        assert far < 0.3

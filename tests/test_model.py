@@ -117,7 +117,10 @@ class TestPoseHead:
 
 class TestEncoder:
     def _make(self):
-        cfg = SPFSplatV2Config(backbone=TINY, sh_degree=1)
+        cfg = SPFSplatV2Config(
+            backbone=TINY, sh_degree=1,
+            dpt_feature_dim=32, dpt_last_dim=16, dpt_layer_dims=(16, 24, 32, 48),
+        )
         model = SPFSplatV2Encoder(cfg)
         b, vc, vt, h, w = 1, 2, 1, 32, 32
         ctx = jax.random.uniform(jax.random.PRNGKey(0), (b, vc, h, w, 3))

@@ -56,7 +56,10 @@ def make_batch(key, b=2, v_cxt=2, v_tgt=1):
 def harness():
     """One encoder + jitted train step shared by all tests in this module
     (compiles are the dominant cost on CPU)."""
-    encoder = SPFSplatV2Encoder(SPFSplatV2Config(backbone=TINY, sh_degree=1))
+    encoder = SPFSplatV2Encoder(SPFSplatV2Config(
+        backbone=TINY, sh_degree=1,
+        dpt_feature_dim=32, dpt_last_dim=16, dpt_layer_dims=(16, 24, 32, 48),
+    ))
     batch = make_batch(jax.random.PRNGKey(0))
     # NOTE: do NOT jit the init — jit(init) compiles a graph whose XLA CPU
     # compile takes minutes, while eager init is ~50 s.
