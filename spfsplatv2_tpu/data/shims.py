@@ -77,3 +77,52 @@ def apply_augmentation(example: dict, rng: np.random.Generator) -> dict:
         views["extrinsics"] = reflect_extrinsics(views["extrinsics"])
         out[side] = views
     return out
+
+
+def compute_depth_for_disparity(
+    extrinsics: np.ndarray,   # (v, 4, 4)
+    intrinsics: np.ndarray,   # (v, 3, 3) normalized
+    image_shape: tuple[int, int],
+    disparity: float,
+    delta_min: float = 1e-6,
+) -> float:
+    """Depth at which the max camera baseline subtends `disparity` pixels.
+
+    Reference: src/dataset/shims/bounds_shim.py:9-37.
+    """
+    origins = extrinsics[:, :3, 3]
+    deltas = np.linalg.norm(origins[None] - origins[:, None], axis=-1)
+    baseline = max(float(deltas.max()), delta_min)
+
+    h, w = image_shape
+    pixel_size = np.asarray([1.0 / w, 1.0 / h])
+    sizes = np.einsum(
+        "vij,j->vi", np.linalg.inv(intrinsics[:, :2, :2]), pixel_size
+    )
+    mean_pixel_size = float(sizes.mean())
+    return baseline / (disparity * mean_pixel_size)
+
+
+def apply_bounds_shim(
+    example: dict, near_disparity: float = 3.0, far_disparity: float = 0.5
+) -> dict:
+    """Derive near/far planes from context-view disparities.
+
+    Reference: src/dataset/shims/bounds_shim.py:40-80.
+    """
+    ctx = example["context"]
+    h, w = ctx["image"].shape[1:3]
+    near = compute_depth_for_disparity(
+        ctx["extrinsics"], ctx["intrinsics"], (h, w), near_disparity
+    )
+    far = compute_depth_for_disparity(
+        ctx["extrinsics"], ctx["intrinsics"], (h, w), far_disparity
+    )
+    out = dict(example)
+    for side in ("context", "target"):
+        views = dict(example[side])
+        v = views["image"].shape[0]
+        views["near"] = np.full((v,), near, np.float32)
+        views["far"] = np.full((v,), far, np.float32)
+        out[side] = views
+    return out

@@ -67,6 +67,7 @@ def project_gaussians(
     image_shape: tuple[int, int],
     sh_degree: int | None = None,
     use_sh: bool = True,
+    ewa_reference_shape: tuple[int, int] | None = None,
 ) -> ProjectedGaussians:
     """Project one camera's view of a set of world-space Gaussians.
 
@@ -78,10 +79,7 @@ def project_gaussians(
 
     w2c = inverse_se3(c2w)
     rot = w2c[:3, :3]
-    t_cam = (
-        jnp.einsum("ij,gj->gi", rot, means, precision=jax.lax.Precision.HIGHEST)
-        + w2c[:3, 3]
-    )
+    t_cam = jnp.einsum("ij,gj->gi", rot, means) + w2c[:3, 3]
     tz = t_cam[..., 2]
     valid = tz > NEAR_CULL
     tz_safe = jnp.where(valid, tz, 1.0)
@@ -96,8 +94,11 @@ def project_gaussians(
     xy = jnp.stack([px, py], axis=-1)
 
     # EWA: clamp the frustum-space coords like the CUDA preprocess does.
-    tan_fx = 0.5 * w / fx
-    tan_fy = 0.5 * h / fy
+    # For band (tile-sharded) rendering the clamp must reference the FULL
+    # image frustum so per-gaussian conics match the unsharded render.
+    h_ref, w_ref = ewa_reference_shape or (h, w)
+    tan_fx = 0.5 * w_ref / fx
+    tan_fy = 0.5 * h_ref / fy
     lim_x = 1.3 * tan_fx
     lim_y = 1.3 * tan_fy
     txz = jnp.clip(t_cam[..., 0] / tz_safe, -lim_x, lim_x) * tz_safe
@@ -108,9 +109,8 @@ def project_gaussians(
     j_row1 = jnp.stack([zeros, fy / tz_safe, -fy * tyz / (tz_safe**2)], axis=-1)
     jac = jnp.stack([j_row0, j_row1], axis=-2)  # (g, 2, 3)
 
-    hi = jax.lax.Precision.HIGHEST
-    a_mat = jnp.einsum("gij,jk->gik", jac, rot, precision=hi)  # (g, 2, 3)
-    cov2d = jnp.einsum("gij,gjk,glk->gil", a_mat, covariances, a_mat, precision=hi)
+    a_mat = jnp.einsum("gij,jk->gik", jac, rot)  # (g, 2, 3)
+    cov2d = jnp.einsum("gij,gjk,glk->gil", a_mat, covariances, a_mat)
     a = cov2d[..., 0, 0] + LOWPASS
     b = cov2d[..., 0, 1]
     c = cov2d[..., 1, 1] + LOWPASS

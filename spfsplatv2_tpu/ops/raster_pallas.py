@@ -370,23 +370,24 @@ def align_bins(
     counts = jnp.minimum(
         bins.tile_starts[1:] - bins.tile_starts[:-1], max_per_tile
     )
-    padded = jnp.minimum(-(-counts // chunk) * chunk, max_per_tile)
-    seg_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    # Fixed-stride layout: tile t owns [t * max_per_tile, (t+1) * max_per_tile).
+    # E_cap is n_tiles * max_per_tile either way, and static strides replace
+    # a searchsorted over E_cap that dominated runtime (~100 ms at 1M entries).
+    seg_starts = (
+        jnp.arange(n_tiles + 1, dtype=jnp.int32) * max_per_tile
     )
 
-    j = jnp.arange(e_cap, dtype=jnp.int32)
-    tile = jnp.searchsorted(seg_starts, j, side="right").astype(jnp.int32) - 1
-    tile = jnp.clip(tile, 0, n_tiles - 1)
-    offset = j - seg_starts[tile]
-    src = starts[tile] + offset
-    valid = (offset < counts[tile]) & (j < seg_starts[n_tiles])
-    ids = jnp.where(
-        valid,
-        bins.ids_sorted[jnp.minimum(src, bins.ids_sorted.shape[0] - 1)],
-        n_gauss,
+    # One 2D window gather (n_tiles, max_per_tile): fast at runtime AND fast
+    # to compile (a vmapped dynamic_slice unrolls into n_tiles ops and takes
+    # minutes to compile; a flat per-entry gather with computed tile indices
+    # runs ~20x slower).
+    ids_padded = jnp.concatenate(
+        [bins.ids_sorted, jnp.full((max_per_tile,), n_gauss, jnp.int32)]
     )
-    return ids, seg_starts, counts
+    offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    windows = ids_padded[starts[:, None] + offset]  # (n_tiles, max_per_tile)
+    ids = jnp.where(offset < counts[:, None], windows, n_gauss)
+    return ids.reshape(-1), seg_starts, counts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

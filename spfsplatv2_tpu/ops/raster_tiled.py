@@ -67,7 +67,16 @@ def bin_gaussians(
     radius = proj.radius
     g = xy.shape[0]
 
-    live = (radius > 0) & jnp.isfinite(depth)
+    # Permute gaussians into depth order FIRST; duplicate slots generated in
+    # this order are already front-to-back, so a single stable sort by tile
+    # id suffices (vs a 2-key (tile, depth-rank) sort — sorts are the
+    # costliest part of binning on TPU).
+    order = jnp.argsort(depth).astype(jnp.int32)
+    xy = xy[order]
+    radius = radius[order]
+    depth_s = depth[order]
+
+    live = (radius > 0) & jnp.isfinite(depth_s)
 
     # Tile bbox exactly like the CUDA getRect.
     r = radius.astype(xy.dtype)
@@ -79,10 +88,6 @@ def bin_gaussians(
     bh = jnp.where(live, y1 - y0, 0)
     n_touched = bw * bh
 
-    # Depth rank (global front-to-back order).
-    order = jnp.argsort(depth)
-    rank = jnp.zeros((g,), jnp.int32).at[order].set(jnp.arange(g, dtype=jnp.int32))
-
     # Expand to (g, d) duplicate slots, row-major over the bbox.
     d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
     bw_safe = jnp.maximum(bw, 1)[:, None]
@@ -93,15 +98,11 @@ def bin_gaussians(
         slot_ok, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), n_tiles
     ).astype(jnp.int32)
 
-    gid = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[:, None], tile_id.shape)
-    rank_b = jnp.broadcast_to(rank[:, None], tile_id.shape)
+    gid = jnp.broadcast_to(order[:, None], tile_id.shape)
 
-    tile_flat = tile_id.reshape(-1)
-    rank_flat = rank_b.reshape(-1)
-    gid_flat = gid.reshape(-1)
-
-    tile_sorted, _, ids_sorted = jax.lax.sort(
-        (tile_flat, rank_flat, gid_flat), dimension=0, num_keys=2
+    tile_sorted, ids_sorted = jax.lax.sort(
+        (tile_id.reshape(-1), gid.reshape(-1)), dimension=0, num_keys=1,
+        is_stable=True,
     )
     tile_starts = jnp.searchsorted(
         tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)

@@ -29,7 +29,7 @@ from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians, composite_tiles
 
 @dataclass(frozen=True)
 class RasterizerConfig:
-    backend: str = "tiled"
+    backend: str = "auto"  # auto -> pallas on TPU, tiled elsewhere
     max_tiles_per_gaussian: int = 16
     max_per_tile: int = 2048
     chunk: int = 128
@@ -48,20 +48,25 @@ def _render_one(
     means, covariances, harmonics, opacities,
     c2w, intrinsics, background,
     image_shape, sh_degree, cfg: RasterizerConfig,
+    ewa_reference_shape=None,
 ):
     proj = project_gaussians(
         means, covariances, harmonics, opacities, c2w, intrinsics,
         image_shape, sh_degree=sh_degree, use_sh=cfg.use_sh,
+        ewa_reference_shape=ewa_reference_shape,
     )
-    if cfg.backend == "reference":
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    if backend == "reference":
         color, depth, alpha = composite_reference(proj, image_shape, background)
-    elif cfg.backend == "tiled":
+    elif backend == "tiled":
         bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
         color, depth, alpha = composite_tiles(
             proj, bins, image_shape, background,
             max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
         )
-    elif cfg.backend == "pallas":
+    elif backend == "pallas":
         from spfsplatv2_tpu.ops.raster_pallas import composite_pallas
 
         bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
@@ -70,13 +75,13 @@ def _render_one(
             max_per_tile=cfg.max_per_tile,
         )
     else:
-        raise ValueError(f"unknown rasterizer backend {cfg.backend!r}")
+        raise ValueError(f"unknown rasterizer backend {backend!r}")
     return color, depth, alpha
 
 
 @partial(
     jax.jit,
-    static_argnames=("image_shape", "sh_degree", "cfg"),
+    static_argnames=("image_shape", "sh_degree", "cfg", "ewa_reference_shape"),
 )
 def render(
     extrinsics: jax.Array,       # (cam, 4, 4) camera-to-world
@@ -91,6 +96,7 @@ def render(
     opacities: jax.Array,        # (cam, g) or (g,)
     sh_degree: int | None = None,
     cfg: RasterizerConfig = RasterizerConfig(),
+    ewa_reference_shape: tuple[int, int] | None = None,
 ) -> RenderOutput:
     """Render a batch of cameras over (shared or per-camera) Gaussian sets.
 
@@ -121,7 +127,8 @@ def render(
     gaussian_axes = (None, None, None, None) if shared else (0, 0, 0, 0)
     color, depth, alpha = jax.vmap(
         lambda m, c, h, o, e, k, b: _render_one(
-            m, c, h, o, e, k, b, image_shape, sh_degree, cfg
+            m, c, h, o, e, k, b, image_shape, sh_degree, cfg,
+            ewa_reference_shape,
         ),
         in_axes=(*gaussian_axes, 0, 0, 0),
     )(means, covariances, harmonics, opacities, extrinsics, intrinsics, background)

@@ -129,6 +129,25 @@ def run_training(
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         params = merge_params(params, convert_spfsplat_checkpoint(sd))
 
+    if lpips_params is None and cfg.loss.use_lpips:
+        from spfsplatv2_tpu.losses.lpips import (
+            init_lpips_params,
+            load_torch_lpips_weights,
+        )
+
+        if cfg.loss.lpips_weights_path:
+            import torch
+
+            sd = torch.load(cfg.loss.lpips_weights_path, map_location="cpu")
+            sd = {k: v.numpy() for k, v in sd.items()}
+            lpips_params = load_torch_lpips_weights(sd)
+        else:
+            print(
+                "WARNING: no LPIPS weights path; using deterministic random "
+                "VGG features (set loss.lpips_weights_path for canonical LPIPS)"
+            )
+            lpips_params = init_lpips_params()
+
     optimizer = make_optimizer(cfg.optimizer, params)
     step_fn = make_train_step(
         encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,

@@ -33,6 +33,9 @@ class LossConfig:
     lpips_apply_after_step: int = 0
     reproj: ReprojConfig = field(default_factory=ReprojConfig)
     use_lpips: bool = True
+    # Path to a torch `lpips.LPIPS(net='vgg')` state dict for canonical
+    # weights; None -> deterministic random VGG (see losses/lpips.py).
+    lpips_weights_path: Optional[str] = None
 
 
 @struct.dataclass
