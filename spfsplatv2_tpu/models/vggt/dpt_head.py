@@ -19,8 +19,43 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spfsplatv2_tpu.models.heads.dpt import FeatureFusionBlock, ResidualConvUnit
 from spfsplatv2_tpu.utils.interp import resize_bilinear
+
+
+class VGGTResidualConvUnit(nn.Module):
+    """vggt's ResidualConvUnit (dpt_head.py:358-400) — NOTE the skip adds
+    relu(x), not x: the reference passes nn.ReLU(inplace=True) as the
+    activation, so `out = act(x)` mutates the residual before
+    `out + x`. The released VGGT-1B weights bake in this behavior, so it is
+    reproduced here deliberately."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(h)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(y)
+        return y + h
+
+
+class VGGTFeatureFusionBlock(nn.Module):
+    """vggt FeatureFusionBlock (dpt_head.py:403-470): optional residual
+    unit on the skip input, refinement, interpolate to `out_hw` (or 2x),
+    1x1 out conv."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None, out_hw=None):
+        if skip is not None:
+            x = x + VGGTResidualConvUnit(self.features, name="resConfUnit1")(skip)
+        x = VGGTResidualConvUnit(self.features, name="resConfUnit2")(x)
+        if out_hw is None:
+            out_hw = (2 * x.shape[-3], 2 * x.shape[-2])
+        x = resize_bilinear(x, out_hw, align_corners=True)
+        return nn.Conv(self.features, (1, 1), name="out_conv")(x)
 
 HOOK_FRACTIONS = (4 / 23, 11 / 23, 17 / 23, 1.0)
 
@@ -68,6 +103,7 @@ class VGGTDPTHead(nn.Module):
     patch_size: int = 14
     pos_embed: bool = True
     gs_variant: bool = False   # adds RGB input_merger skip, raw output
+    hooks: Optional[Sequence[int]] = None  # default: vggt_hooks(n_layers)
 
     @nn.compact
     def __call__(self, tokens_list, grid, patch_start, images=None):
@@ -81,7 +117,8 @@ class VGGTDPTHead(nn.Module):
 
         norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
         pyramid = []
-        for i, hook in enumerate(vggt_hooks(len(tokens_list))):
+        hooks = self.hooks or vggt_hooks(len(tokens_list))
+        for i, hook in enumerate(hooks):
             x = tokens_list[hook][:, :, patch_start:]
             x = norm(x)
             x = x.reshape(b * v, gh, gw, x.shape[-1])
@@ -112,11 +149,20 @@ class VGGTDPTHead(nn.Module):
             )(p)
             for i, p in enumerate(pyramid)
         ]
-        path4 = FeatureFusionBlock(self.features, name="refinenet4")(rn[3])
-        path4 = path4[:, : rn[2].shape[1], : rn[2].shape[2]]
-        path3 = FeatureFusionBlock(self.features, name="refinenet3")(path4, rn[2])
-        path2 = FeatureFusionBlock(self.features, name="refinenet2")(path3, rn[1])
-        path1 = FeatureFusionBlock(self.features, name="refinenet1")(path2, rn[0])
+        # Fusion interpolates to the NEXT pyramid level's exact size
+        # (reference scratch_forward, dpt_head.py:285-300).
+        path4 = VGGTFeatureFusionBlock(self.features, name="refinenet4")(
+            rn[3], out_hw=rn[2].shape[1:3]
+        )
+        path3 = VGGTFeatureFusionBlock(self.features, name="refinenet3")(
+            path4, rn[2], out_hw=rn[1].shape[1:3]
+        )
+        path2 = VGGTFeatureFusionBlock(self.features, name="refinenet2")(
+            path3, rn[1], out_hw=rn[0].shape[1:3]
+        )
+        path1 = VGGTFeatureFusionBlock(self.features, name="refinenet1")(
+            path2, rn[0]
+        )
 
         out = nn.Conv(
             self.features // 2, (3, 3), padding=1, name="output_conv1"

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from spfsplatv2_tpu.ops.rasterizer import RasterizerConfig, RenderOutput, render
 
@@ -74,7 +74,7 @@ def render_tile_sharded(
             P(None, "tile", None),
             P(None, "tile", None),
         ),
-        check_rep=False,
+        check_vma=False,
     )(
         extrinsics, intrinsics, near, far, background,
         means, covariances, harmonics, opacities,
