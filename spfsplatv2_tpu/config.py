@@ -15,9 +15,14 @@ from pathlib import Path
 from typing import Any, Optional, get_args, get_origin
 
 from spfsplatv2_tpu.data.dataset import DatasetConfig
-from spfsplatv2_tpu.data.view_samplers import BoundedSamplerConfig
+from spfsplatv2_tpu.data.view_samplers import (
+    ArbitrarySamplerConfig,
+    BoundedSamplerConfig,
+    EvaluationSamplerConfig,
+)
 from spfsplatv2_tpu.losses.reproj import ReprojConfig
 from spfsplatv2_tpu.models.croco.backbone import CrocoBackboneConfig
+from spfsplatv2_tpu.models import EncoderSelectorConfig
 from spfsplatv2_tpu.models.decoder import DecoderConfig
 from spfsplatv2_tpu.models.encoder import OpacityMappingConfig, SPFSplatV2Config
 from spfsplatv2_tpu.models.heads.pose_head import PoseHeadConfig
@@ -49,6 +54,11 @@ class TrainFlags:
     training_context: bool = False
     random_drop_context_views: bool = False
     random_drop_target_views: bool = False
+    # Distillation teacher: "" disables; "dust3r"/"mast3r" enable the frozen
+    # teacher for the first distill_max_steps steps (reference
+    # config/main.yaml:53-54, src/model/distiller/__init__.py:9-24).
+    distiller: str = ""
+    distiller_weights: Optional[str] = None
     distill_max_steps: int = 0
     print_log_every_n_steps: int = 100
 
@@ -67,10 +77,22 @@ class TestFlags:
 @dataclass(frozen=True)
 class RootConfig:
     mode: str = "train"
-    encoder: SPFSplatV2Config = field(default_factory=SPFSplatV2Config)
+    # Variant-discriminated encoder selection (reference
+    # src/model/encoder/__init__.py:9-22): encoder.name picks the family,
+    # encoder.<name>.* configures it.
+    encoder: EncoderSelectorConfig = field(default_factory=EncoderSelectorConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    # Sampler selection (reference src/dataset/view_sampler/__init__.py:13-41):
+    # view_sampler_name picks the kind, the matching config block applies.
+    view_sampler_name: str = "bounded"
     view_sampler: BoundedSamplerConfig = field(default_factory=BoundedSamplerConfig)
+    evaluation_sampler: EvaluationSamplerConfig = field(
+        default_factory=EvaluationSamplerConfig
+    )
+    arbitrary_sampler: ArbitrarySamplerConfig = field(
+        default_factory=ArbitrarySamplerConfig
+    )
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
@@ -79,6 +101,20 @@ class RootConfig:
     test: TestFlags = field(default_factory=TestFlags)
     image_shape: tuple[int, int] = (256, 256)
     output_dir: str = "outputs"
+
+
+def make_sampler_from_config(cfg: "RootConfig", stage: str):
+    """Build the configured view sampler (reference get_view_sampler)."""
+    from spfsplatv2_tpu.data.view_samplers import make_view_sampler
+
+    kind = cfg.view_sampler_name
+    sampler_cfg = {
+        "bounded": cfg.view_sampler,
+        "evaluation": cfg.evaluation_sampler,
+        "arbitrary": cfg.arbitrary_sampler,
+        "all": None,
+    }[kind]
+    return make_view_sampler(kind, sampler_cfg, stage=stage)
 
 
 def _coerce(value: Any, typ: Any) -> Any:

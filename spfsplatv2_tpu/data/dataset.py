@@ -171,6 +171,13 @@ class ChunkedSceneDataset:
             "target": views(tgt_idx, tgt_images),
             "scene": scene,
         }
+        # Evaluation indices carry a context-overlap value used for
+        # per-overlap score buckets (reference dataset_re10k.py:135,206).
+        overlap_for = getattr(self.view_sampler, "overlap_for", None)
+        if overlap_for is not None:
+            overlap = overlap_for(scene)
+            if overlap is not None:
+                out["context"]["overlap"] = np.float32(overlap)
         if self.stage == "train" and cfg.augment:
             out = apply_augmentation(out, rng)
         return apply_crop_shim(out, tuple(cfg.input_image_shape))

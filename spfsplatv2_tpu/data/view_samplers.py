@@ -116,6 +116,11 @@ class EvaluationViewSampler:
         with open(cfg.index_path) as f:
             self.index = {k: v for k, v in json.load(f).items() if v is not None}
 
+    def overlap_for(self, scene: str):
+        """Context-overlap value of this scene's index entry (or None)."""
+        entry = self.index.get(scene)
+        return None if entry is None else entry.get("overlap")
+
     def sample(self, scene: str, num_views: int, rng=None, global_step: int = 0):
         entry = self.index.get(scene)
         if entry is None:

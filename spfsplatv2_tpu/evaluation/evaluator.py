@@ -1,12 +1,20 @@
 """Test-set evaluator: novel-view synthesis + pose metrics over fixed indices.
 
 TPU-native port of the reference test loop
-(reference: src/model/model_wrapper.py:372-645): for each evaluation scene,
-run the encoder on context (+ one target view at a time in pose-estimating
-mode), render at the predicted target pose, optionally refine the pose by
-test-time alignment (evaluation/pose_align.py), score PSNR/SSIM/LPIPS and
-pose errors, and dump `scores_all.json` / `benchmark.json` /
-`peak_memory.json` artifacts matching the reference protocol.
+(reference: src/model/model_wrapper.py:372-645):
+
+  * pose-estimating mode encodes each target SEPARATELY (context + one
+    target view per encoder call, reference lines 386-422) — the published
+    protocol, since joint encoding changes the masked-attention distribution;
+  * optional focal estimation replaces GT intrinsics for rendering
+    (lines 402-407);
+  * optional test-time pose alignment by Adam through the renderer;
+  * PSNR/SSIM/LPIPS + pose errors, bucketed by context overlap
+    (get_overlap_tag, src/misc/utils.py:38-48);
+  * artifacts: `scores_all.json`, `scores_all_avg.json`,
+    `scores_sub_avg.json` (per-overlap buckets), `benchmark.json`,
+    `peak_memory.json` (lines 594-645), plus optional per-view images and
+    per-scene videos.
 """
 
 from __future__ import annotations
@@ -38,7 +46,26 @@ class EvalConfig:
     opt_lr: float = 5e-4
     compute_scores: bool = True
     save_images: bool = False
+    save_video: bool = False
     output_path: str = "outputs/test"
+    # Published protocol: encode context + ONE target at a time
+    # (reference model_wrapper.py:386-394). False = joint encoding.
+    per_target_encoding: bool = True
+    # Render with encoder-estimated intrinsics instead of GT
+    # (reference model_wrapper.py:402-407; requires the encoder's
+    # estimating_focal flag).
+    use_estimated_focal: bool = False
+
+
+def get_overlap_tag(overlap: float) -> str:
+    """Context-overlap bucket (reference src/misc/utils.py:38-48)."""
+    if 0.05 <= overlap <= 0.3:
+        return "small"
+    if overlap <= 0.55:
+        return "medium"
+    if overlap <= 0.8:
+        return "large"
+    return "ignore"
 
 
 def evaluate_example(
@@ -60,35 +87,84 @@ def evaluate_example(
     tgt_k = jnp.asarray(tgt["intrinsics"])[None]
     v_cxt = ctx_img.shape[1]
     v_tgt = tgt_img.shape[1]
-
-    with bench.time("encoder"):
-        out = encoder.apply(params, ctx_img, ctx_k, tgt_img, tgt_k)
-        jax.block_until_ready(out["gaussians"].means)
-
-    pred_tgt_poses = out["extrinsics_cwt"][:, v_cxt:]
     near = jnp.asarray(tgt["near"])[None]
     far = jnp.asarray(tgt["far"])[None]
 
-    if eval_cfg.align_pose:
-        from spfsplatv2_tpu.evaluation.pose_align import align_poses
+    apply_fn = jax.jit(encoder.apply)
 
-        with bench.time("pose_optimize"):
-            pred_tgt_poses, _ = align_poses(
-                out["gaussians"], pred_tgt_poses, tgt_k, near, far, tgt_img,
-                image_shape, steps=eval_cfg.pose_align_steps,
-                lr=eval_cfg.opt_lr, decoder_cfg=decoder_cfg,
-            )
-            jax.block_until_ready(pred_tgt_poses)
-
-    with bench.time("decoder", num_calls=v_tgt):
-        rendered = decode_splatting(
-            out["gaussians"], pred_tgt_poses, tgt_k, near, far,
-            image_shape, decoder_cfg,
+    def render_targets(gaussians, poses, intr, near_, far_):
+        return decode_splatting(
+            gaussians, poses, intr, near_, far_, image_shape, decoder_cfg,
         )
-        jax.block_until_ready(rendered.color)
+
+    if eval_cfg.per_target_encoding:
+        # Reference protocol: one encoder pass per target view with a
+        # single-target subset (model_wrapper.py:386-422).
+        colors, poses_out, ctx_poses = [], [], None
+        for t in range(v_tgt):
+            sl = slice(t, t + 1)
+            with bench.time("encoder"):
+                out = apply_fn(
+                    params, ctx_img, ctx_k, tgt_img[:, sl], tgt_k[:, sl]
+                )
+                jax.block_until_ready(out["gaussians"].means)
+            pose_t = out["extrinsics_cwt"][:, v_cxt:]
+            intr_t = tgt_k[:, sl]
+            if eval_cfg.use_estimated_focal and "intrinsics_cwt" in out:
+                intr_t = out["intrinsics_cwt"][:, v_cxt:]
+            if eval_cfg.align_pose:
+                from spfsplatv2_tpu.evaluation.pose_align import align_poses
+
+                with bench.time("pose_optimize"):
+                    pose_t, _ = align_poses(
+                        out["gaussians"], pose_t, intr_t, near[:, sl],
+                        far[:, sl], tgt_img[:, sl], image_shape,
+                        steps=eval_cfg.pose_align_steps, lr=eval_cfg.opt_lr,
+                        decoder_cfg=decoder_cfg,
+                    )
+                    jax.block_until_ready(pose_t)
+            with bench.time("decoder", num_calls=1):
+                rendered = render_targets(
+                    out["gaussians"], pose_t, intr_t, near[:, sl], far[:, sl]
+                )
+                jax.block_until_ready(rendered.color)
+            colors.append(rendered.color)
+            poses_out.append(pose_t)
+            ctx_poses = out["extrinsics_cwt"][:, :v_cxt]
+        pred = jnp.concatenate(colors, axis=1)[0]
+        pred_tgt_poses = jnp.concatenate(poses_out, axis=1)
+        out_ctx_poses = ctx_poses
+    else:
+        with bench.time("encoder"):
+            out = apply_fn(params, ctx_img, ctx_k, tgt_img, tgt_k)
+            jax.block_until_ready(out["gaussians"].means)
+        pred_tgt_poses = out["extrinsics_cwt"][:, v_cxt:]
+        intr = tgt_k
+        if eval_cfg.use_estimated_focal and "intrinsics_cwt" in out:
+            intr = out["intrinsics_cwt"][:, v_cxt:]
+        if eval_cfg.align_pose:
+            from spfsplatv2_tpu.evaluation.pose_align import align_poses
+
+            with bench.time("pose_optimize"):
+                pred_tgt_poses, _ = align_poses(
+                    out["gaussians"], pred_tgt_poses, intr, near, far,
+                    tgt_img, image_shape, steps=eval_cfg.pose_align_steps,
+                    lr=eval_cfg.opt_lr, decoder_cfg=decoder_cfg,
+                )
+                jax.block_until_ready(pred_tgt_poses)
+        with bench.time("decoder", num_calls=v_tgt):
+            rendered = render_targets(
+                out["gaussians"], pred_tgt_poses, intr, near, far
+            )
+            jax.block_until_ready(rendered.color)
+        pred = rendered.color[0]
+        out_ctx_poses = out["extrinsics_cwt"][:, :v_cxt]
 
     result = {"scene": example.get("scene", "?")}
-    pred = rendered.color[0]
+    overlap = ctx.get("overlap")
+    if overlap is not None:
+        result["overlap"] = float(overlap)
+        result["overlap_tag"] = get_overlap_tag(float(overlap))
     gt = tgt_img[0]
     result["psnr"] = [float(x) for x in compute_psnr(gt, pred)]
     result["ssim"] = [float(x) for x in compute_ssim(gt, pred)]
@@ -101,14 +177,34 @@ def evaluate_example(
         )
         result["pose_rot_err_deg"] = [float(x) for x in rot]
         result["pose_transl_err_deg"] = [float(x) for x in tr]
-    if "extrinsics" in ctx and out["extrinsics_c"] is not None:
+    if "extrinsics" in ctx and out_ctx_poses is not None:
         rot, tr = compute_pose_error(
-            out["extrinsics_c"][0], jnp.asarray(ctx["extrinsics"])
+            out_ctx_poses[0], jnp.asarray(ctx["extrinsics"])
         )
         result["context_pose_rot_err_deg"] = [float(x) for x in rot]
         result["context_pose_transl_err_deg"] = [float(x) for x in tr]
 
-    result["images"] = np.asarray(jnp.clip(pred, 0, 1)) if eval_cfg.save_images else None
+    if eval_cfg.save_images or eval_cfg.save_video:
+        frames = np.asarray(jnp.clip(pred, 0, 1))
+        scene = str(result["scene"])
+        out_dir = Path(eval_cfg.output_path)
+        if eval_cfg.save_images:
+            from spfsplatv2_tpu.utils.visualization import save_image
+
+            for i, frame in enumerate(frames):
+                idx = tgt.get("index", list(range(v_tgt)))[i]
+                save_image(frame, out_dir / scene / "color" / f"{idx:0>6}.png")
+        if eval_cfg.save_video:
+            from spfsplatv2_tpu.utils.visualization import save_video
+
+            ctx_idx = ctx.get("index", list(range(v_cxt)))
+            frame_str = "_".join(str(int(i)) for i in ctx_idx)
+            save_video(
+                frames, out_dir / "video" / f"{scene}_frame_{frame_str}.mp4"
+            )
+        result["images"] = frames if eval_cfg.save_images else None
+    else:
+        result["images"] = None
     return result
 
 
@@ -119,25 +215,43 @@ def summarize_and_dump(
     out_dir = Path(output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    def flat(key):
-        return [x for r in results for x in (r.get(key) or [])]
+    def flat(key, rs=results):
+        return [x for r in rs for x in (r.get(key) or [])]
 
-    summary = {
-        "psnr": float(np.mean(flat("psnr"))) if flat("psnr") else None,
-        "ssim": float(np.mean(flat("ssim"))) if flat("ssim") else None,
-        "lpips": float(np.mean(flat("lpips"))) if flat("lpips") else None,
-        "num_scenes": len(results),
-    }
-    rot = np.asarray(flat("pose_rot_err_deg"), np.float64)
-    tr = np.asarray(flat("pose_transl_err_deg"), np.float64)
-    if rot.size:
-        summary["pose"] = pose_auc_summary(rot, tr)
+    def averages(rs):
+        out = {
+            "psnr": float(np.mean(flat("psnr", rs))) if flat("psnr", rs) else None,
+            "ssim": float(np.mean(flat("ssim", rs))) if flat("ssim", rs) else None,
+            "lpips": (
+                float(np.mean(flat("lpips", rs))) if flat("lpips", rs) else None
+            ),
+            "num_scenes": len(rs),
+        }
+        rot = np.asarray(flat("pose_rot_err_deg", rs), np.float64)
+        tr = np.asarray(flat("pose_transl_err_deg", rs), np.float64)
+        if rot.size:
+            out["pose"] = pose_auc_summary(rot, tr)
+        return out
+
+    summary = averages(results)
+
+    # Per-overlap-bucket tables (reference print_preview_metrics +
+    # scores_sub_avg.json, model_wrapper.py:987-1046, 594-619).
+    buckets: dict[str, list[dict]] = {}
+    for r in results:
+        tag = r.get("overlap_tag")
+        if tag:
+            buckets.setdefault(tag, []).append(r)
+    sub_avg = {tag: averages(rs) for tag, rs in sorted(buckets.items())}
 
     scores_all = [
         {k: v for k, v in r.items() if k != "images"} for r in results
     ]
     (out_dir / "scores_all.json").write_text(json.dumps(scores_all, indent=2))
     (out_dir / "scores_all_avg.json").write_text(json.dumps(summary, indent=2))
+    (out_dir / "scores_sub_avg.json").write_text(json.dumps(sub_avg, indent=2))
     benchmarker.dump(out_dir / "benchmark.json")
     benchmarker.dump_memory(out_dir / "peak_memory.json")
+    if sub_avg:
+        summary["by_overlap"] = sub_avg
     return summary

@@ -41,33 +41,53 @@ def main(argv=None) -> int:
         return 0
 
     if cfg.mode == "test":
-        import jax.numpy as jnp
-
+        from spfsplatv2_tpu.config import make_sampler_from_config
         from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset
-        from spfsplatv2_tpu.data.view_samplers import make_view_sampler
         from spfsplatv2_tpu.evaluation.benchmarker import Benchmarker
         from spfsplatv2_tpu.evaluation.evaluator import (
             EvalConfig,
             evaluate_example,
             summarize_and_dump,
         )
-        from spfsplatv2_tpu.models.encoder import SPFSplatV2Encoder
+        from spfsplatv2_tpu.models import get_encoder
         from spfsplatv2_tpu.training.loop import load_checkpoint
 
-        encoder = SPFSplatV2Encoder(cfg.encoder)
-        sampler = make_view_sampler("bounded", cfg.view_sampler, stage="test")
+        encoder = get_encoder(cfg.encoder)
+        sampler = make_sampler_from_config(cfg, stage="test")
         dataset = ChunkedSceneDataset(cfg.dataset, sampler, stage="test")
 
         assert cfg.checkpointing.load, "mode=test requires checkpointing.load"
         restored = load_checkpoint(cfg.checkpointing.load)
         params = restored["params"] if "params" in restored else restored
 
+        lpips_params = None
+        if cfg.loss.use_lpips:
+            from spfsplatv2_tpu.losses.lpips import (
+                init_lpips_params,
+                load_torch_lpips_weights,
+            )
+
+            if cfg.loss.lpips_weights_path:
+                import torch
+
+                sd = torch.load(cfg.loss.lpips_weights_path, map_location="cpu")
+                lpips_params = load_torch_lpips_weights(
+                    {k: v.numpy() for k, v in sd.items()}
+                )
+            else:
+                lpips_params = init_lpips_params()
+
         eval_cfg = EvalConfig(
             align_pose=cfg.test.align_pose,
             pose_align_steps=cfg.test.pose_align_steps,
             opt_lr=cfg.test.opt_lr,
+            compute_scores=cfg.test.compute_scores,
             save_images=cfg.test.save_image,
+            save_video=cfg.test.save_video,
             output_path=cfg.test.output_path,
+            use_estimated_focal=getattr(
+                cfg.encoder.variant_cfg, "estimating_focal", False
+            ),
         )
         bench = Benchmarker()
         results = []
@@ -75,7 +95,8 @@ def main(argv=None) -> int:
             results.append(
                 evaluate_example(
                     encoder, params, example, tuple(cfg.image_shape),
-                    cfg.decoder, eval_cfg, benchmarker=bench,
+                    cfg.decoder, eval_cfg, lpips_params=lpips_params,
+                    benchmarker=bench,
                 )
             )
         summary = summarize_and_dump(results, cfg.test.output_path, bench)

@@ -1,20 +1,24 @@
-"""SPFSplatV2 encoder: unposed images -> pixel-aligned Gaussians + poses.
+"""SPFSplat (v1, ICCV) encoder: the unmasked-backbone variant.
 
-TPU-native re-design of the reference flagship encoder
-(reference: src/model/encoder/encoder_spfsplatv2.py:78-383):
+TPU-native re-design of the reference `EncoderSPFSplat`
+(reference: src/model/encoder/encoder_spfsplat.py:39-383):
 
-  * masked multi-view CroCo backbone over context (+ target) views,
-  * per-view DPT pointmap heads (head 1 specialized for view 0, head 2
-    shared by the rest — the DUSt3R asymmetry),
-  * per-view DPT-GS heads with RGB skip -> raw Gaussian parameters
-    (opacity + scale + rotation + SH = 83 channels at sh_degree 4),
-  * per-view MLP pose heads on the learnable pose token -> 9D pose encoding,
-  * pose post-processing (6D->SE3, optional baseline-1 rescale, relative to
-    view 0) and the unified Gaussian adapter.
+  * unmasked multi-view CroCo backbone (`croco_multi`) run TWICE — once over
+    context views only (pointmaps / Gaussians / context poses) and once over
+    context+target views (poses for all views),
+  * per-view DPT pointmap + DPT-GS heads exactly like v2,
+  * pose heads read the POOLED patch tokens (concat of encoder 1024d and
+    last-decoder 768d features, `concat_enc`), not a learnable pose token
+    (reference heads/pose_head.py:79-96), with homogeneous 4D translation
+    (`use_homogeneous`) and un-zeroed `fc_t` (`pose_init_t: false`)
+    per config/model/encoder/spfsplat.yaml:40-43,
+  * pose post-processing with baseline-1 rescale ON by default
+    (config/model/encoder/spfsplat.yaml:33).
 
-Instead of the reference's per-view Python loops over heads
-(encoder_spfsplatv2.py:209-236), views sharing a head are folded into the
-batch axis so every head runs as one large MXU-friendly call.
+Returns BOTH pose sets: `extrinsics_c` from the context-only decoder pass
+and `extrinsics_cwt` from the with-target pass — the v1 reprojection loss
+uses cwt poses for its main terms plus a detached-pts3d term on the
+context-only poses (reference src/model/model_wrapper.py:284-304).
 """
 
 from __future__ import annotations
@@ -26,61 +30,52 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spfsplatv2_tpu.gaussians import Gaussians
 from spfsplatv2_tpu.geometry import se3
 from spfsplatv2_tpu.models.adapter import (
     map_pdf_to_opacity,
     raw_gaussian_channels,
     unified_gaussian_adapter,
 )
-from spfsplatv2_tpu.models.croco.backbone import (
-    CrocoBackboneConfig,
-    MaskedCrocoBackbone,
+from spfsplatv2_tpu.models.croco.backbone_multi import (
+    CrocoMultiBackbone,
+    CrocoMultiBackboneConfig,
 )
+from spfsplatv2_tpu.models.encoder import OpacityMappingConfig, dpt_hooks
 from spfsplatv2_tpu.models.heads.dpt import DPTGSHead, DPTHead
 from spfsplatv2_tpu.models.heads.pose_head import PoseHead, PoseHeadConfig
 from spfsplatv2_tpu.models.heads.postprocess import pts3d_postprocess
 
-def dpt_hooks(dec_depth: int) -> tuple[int, ...]:
-    """Hook layers [0, D/2, 3D/4, D] (reference dpt_head.py:110)."""
-    return (0, dec_depth * 2 // 4, dec_depth * 3 // 4, dec_depth)
-
 
 @dataclass(frozen=True)
-class OpacityMappingConfig:
-    initial: float = 0.0
-    final: float = 0.0
-    warm_up: int = 1
-
-
-@dataclass(frozen=True)
-class SPFSplatV2Config:
-    backbone: CrocoBackboneConfig = field(default_factory=CrocoBackboneConfig)
-    pose_head: PoseHeadConfig = field(default_factory=PoseHeadConfig)
+class SPFSplatConfig:
+    backbone: CrocoMultiBackboneConfig = field(
+        default_factory=CrocoMultiBackboneConfig
+    )
+    pose_head: PoseHeadConfig = field(
+        default_factory=lambda: PoseHeadConfig(
+            init_t=False, use_homogeneous=True, concat_enc=True
+        )
+    )
     opacity_mapping: OpacityMappingConfig = field(
         default_factory=OpacityMappingConfig
     )
     sh_degree: int = 4
-    # DPT head sizes (shrink for tests; defaults match the reference).
     dpt_feature_dim: int = 256
     dpt_last_dim: int = 128
     dpt_layer_dims: tuple[int, ...] = (96, 192, 384, 768)
     estimating_pose: bool = True
     estimating_focal: bool = False
-    pose_make_baseline_1: bool = False
+    pose_make_baseline_1: bool = True
     pose_make_relative: bool = True
     input_mean: float = 0.5
     input_std: float = 0.5
 
 
-class SPFSplatV2Encoder(nn.Module):
-    cfg: SPFSplatV2Config = field(default_factory=SPFSplatV2Config)
+class SPFSplatEncoder(nn.Module):
+    cfg: SPFSplatConfig = field(default_factory=SPFSplatConfig)
 
     def _run_dual_heads(self, make_head, dec_feat, grid, extra=None):
-        """Apply head1 to view 0 and head2 to views 1..v-1, batched.
-
-        dec_feat: list of (b, v, p, c); returns (b, v, h', w', out).
-        """
+        """Head 1 on view 0, head 2 on views 1..v-1 (same as the v2 path)."""
         hooked = [dec_feat[i] for i in dpt_hooks(len(dec_feat) - 1)]
         b, v = hooked[0].shape[:2]
 
@@ -122,24 +117,24 @@ class SPFSplatV2Encoder(nn.Module):
             )
         images = (images - cfg.input_mean) / cfg.input_std
 
-        out = MaskedCrocoBackbone(cfg.backbone, name="backbone")(
+        out = CrocoMultiBackbone(cfg.backbone, name="backbone")(
             images, intrinsics, num_target=v_tgt
         )
-        dec_feat, pose_feat, grid = out["dec_feat"], out["pose_feat"], out["grid"]
-        ctx_feat = [t[:, :v_cxt] for t in dec_feat]
+        dec_feat, grid = out["dec_feat"], out["grid"]
+        dec_feat_w_tgt = out["dec_feat_w_tgt"]
 
-        # ---- pointmap heads (context views only) -------------------------
+        # ---- pointmap heads (context-only pass) --------------------------
         raw_pts = self._run_dual_heads(
             lambda s: DPTHead(
                 out_channels=3, feature_dim=cfg.dpt_feature_dim,
                 last_dim=cfg.dpt_last_dim, layer_dims=cfg.dpt_layer_dims,
                 name=f"downstream_head{s}",
             ),
-            ctx_feat, grid,
+            dec_feat, grid,
         )
-        pts3d = pts3d_postprocess(raw_pts, mode="exp")  # (b, v_cxt, h, w, 3)
+        pts3d = pts3d_postprocess(raw_pts, mode="exp")
 
-        # ---- Gaussian parameter heads (context views only) ---------------
+        # ---- Gaussian parameter heads (context-only pass) ----------------
         gs_dim = raw_gaussian_channels(cfg.sh_degree)
         ctx_images_norm = images[:, :v_cxt]
         raw_gs = self._run_dual_heads(
@@ -148,24 +143,33 @@ class SPFSplatV2Encoder(nn.Module):
                 layer_dims=cfg.dpt_layer_dims,
                 name=f"gaussian_param_head{s}",
             ),
-            ctx_feat, grid, extra=ctx_images_norm,
-        )  # (b, v_cxt, h, w, 83)
+            dec_feat, grid, extra=ctx_images_norm,
+        )
 
-        # ---- pose heads (context + target views) -------------------------
+        # ---- pose heads: pooled patch tokens, both decoder passes --------
         extrinsics_c = extrinsics_cwt = None
         if cfg.estimating_pose:
-            tokens = pose_feat[-1]  # (b, v, 1, c)
-            v = tokens.shape[1]
-            p1 = PoseHead(cfg.pose_head, name="pose_head1")(tokens[:, 0])
-            p2 = PoseHead(cfg.pose_head, name="pose_head2")(
-                tokens[:, 1:].reshape(b * (v - 1), 1, -1)
-            )
-            enc = jnp.concatenate(
-                [p1[:, None], p2.reshape(b, v - 1, 9)], axis=1
-            )  # (b, v, 9)
-            poses = self._process_pose(enc, v_cxt)
-            extrinsics_c = poses[:, :v_cxt]
-            extrinsics_cwt = poses
+            head1 = PoseHead(cfg.pose_head, name="pose_head1")
+            head2 = PoseHead(cfg.pose_head, name="pose_head2")
+
+            def pose_pass(feats):
+                # concat_enc: channel-concat encoder (1024d) and final
+                # decoder (768d) patch tokens (reference pose_head.py:79-84).
+                tokens = jnp.concatenate([feats[0], feats[-1]], axis=-1)
+                v = tokens.shape[1]
+                p1 = head1(tokens[:, 0])
+                p2 = head2(tokens[:, 1:].reshape(b * (v - 1), *tokens.shape[2:]))
+                return jnp.concatenate(
+                    [p1[:, None], p2.reshape(b, v - 1, 9)], axis=1
+                )
+
+            extrinsics_c = self._process_pose(pose_pass(dec_feat), v_cxt)
+            if dec_feat_w_tgt is not None:
+                extrinsics_cwt = self._process_pose(
+                    pose_pass(dec_feat_w_tgt), v_cxt
+                )
+            else:
+                extrinsics_cwt = extrinsics_c
 
         # ---- assemble Gaussians ------------------------------------------
         densities = jax.nn.sigmoid(raw_gs[..., 0])
@@ -179,7 +183,7 @@ class SPFSplatV2Encoder(nn.Module):
             opacities.reshape(b, v_cxt, h * w),
             raw_gs[..., 1:].reshape(b, v_cxt, h * w, gs_dim - 1),
             sh_degree=cfg.sh_degree,
-        ).flatten_views()  # (b, v_cxt * h * w, ...)
+        ).flatten_views()
 
         depths = None
         if extrinsics_c is not None:
@@ -194,25 +198,20 @@ class SPFSplatV2Encoder(nn.Module):
             "pts3d": pts3d,
             "depths": depths,
             "densities": densities,
+            "variant": "spfsplat",
         }
         if cfg.estimating_focal:
-            # Weiszfeld focal from view-0's pointmap (camera-0 frame == world
-            # frame after relative normalization), broadcast to every view
-            # (reference encoder_spfsplatv2.py:289-290, 331-335).
             from spfsplatv2_tpu.geometry.intrinsics import estimate_intrinsics
 
-            k_pred = estimate_intrinsics(pts3d)  # (b, 3, 3) normalized
+            k_pred = estimate_intrinsics(pts3d)
             out["intrinsics_cwt"] = jnp.broadcast_to(
                 k_pred[:, None], (b, v_cxt + v_tgt, 3, 3)
             )
         return out
 
     def _process_pose(self, pose_enc: jax.Array, v_cxt: int) -> jax.Array:
-        """9D encodings -> c2w poses, baseline-1/relative normalization.
-
-        Reference: encoder_spfsplatv2.py:340-359.
-        """
-        poses = se3.pose_encoding_to_matrix(pose_enc)  # (b, v, 4, 4)
+        """Reference encoder_spfsplat.py process_pose (same as v2's)."""
+        poses = se3.pose_encoding_to_matrix(pose_enc)
         if self.cfg.pose_make_baseline_1:
             a = poses[:, 0, :3, 3]
             c = poses[:, v_cxt - 1, :3, 3]

@@ -359,14 +359,11 @@ def align_bins(
     """Re-pack sorted entries into chunk-aligned disjoint tile segments.
 
     Returns (ids_aligned (E_cap,), seg_starts (n_tiles + 1,),
-    counts (n_tiles,), dup_aligned (E_cap,)) with
-    E_cap = n_tiles * max_per_tile static. Padding slots point at the dummy
-    gaussian row (index n_gauss); dup_aligned carries each entry's
-    duplicate-slot index for gradient inversion.
+    counts (n_tiles,)) with E_cap = n_tiles * max_per_tile static. Padding
+    slots point at the dummy gaussian row (index n_gauss).
     """
     tiles_y, tiles_x = bins.num_tiles_xy
     n_tiles = tiles_y * tiles_x
-    e_cap = n_tiles * max_per_tile
 
     starts = bins.tile_starts[:-1]
     counts = jnp.minimum(
@@ -386,41 +383,11 @@ def align_bins(
     ids_padded = jnp.concatenate(
         [bins.ids_sorted, jnp.full((max_per_tile,), n_gauss, jnp.int32)]
     )
-    dup_padded = jnp.concatenate(
-        [bins.entry_slot, jnp.zeros((max_per_tile,), jnp.int32)]
-    )
     offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     src = starts[:, None] + offset
     valid = offset < counts[:, None]
     ids = jnp.where(valid, ids_padded[src], n_gauss)
-    dup = jnp.where(valid, dup_padded[src], 0)
-    return ids.reshape(-1), seg_starts, counts, dup.reshape(-1)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _gather_entries_t(packed_t, ids, slots):
-    return packed_t[:, ids]
-
-
-def _gather_entries_t_fwd(packed_t, ids, slots):
-    return packed_t[:, ids], (slots,)
-
-
-def _gather_entries_t_bwd(residuals, g):
-    (slots,) = residuals
-    # g: (FEAT, E_cap) entry grads -> per-gaussian grads via slot gather.
-    # Row-gather layout ((E, FEAT) rows) lowers far better on TPU than a
-    # lane-axis gather of the transposed buffer.
-    g_rows = jnp.concatenate(
-        [g.T, jnp.zeros((1, g.shape[0]), g.dtype)], axis=0
-    )  # (E_cap + 1, FEAT)
-    gathered = g_rows[slots.reshape(-1)].reshape(
-        slots.shape[0], slots.shape[1], g.shape[0]
-    )
-    return gathered.sum(axis=1).T, None, None
-
-
-_gather_entries_t.defvjp(_gather_entries_t_fwd, _gather_entries_t_bwd)
+    return ids.reshape(-1), seg_starts, counts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -543,11 +510,13 @@ def composite_pallas(
     packed = jnp.concatenate([packed, dummy], axis=0)
     n_gauss = proj.xy.shape[0]
 
-    ids, seg_starts, counts, dup = align_bins(bins, chunk, max_per_tile, n_gauss)
-    # Differentiable gather straight into the transposed layout; the gather
-    # VJP's duplicate scatter-add proved FASTER in the fused graph than a
-    # precomputed inverse-slot gather (measured: 43 vs 52 ms fwd+bwd/cam).
-    attrs_t = packed.T[:, ids]  # (FEAT, E_cap)
+    ids, seg_starts, counts = align_bins(bins, chunk, max_per_tile, n_gauss)
+    # Differentiable ROW gather ((E_cap, FEAT) rows lower to fast TPU
+    # dynamic-gathers; a lane-axis gather of the transposed buffer does
+    # not) followed by one transpose into the kernel's (FEAT, E_cap) DMA
+    # layout.  The gather VJP's duplicate scatter-add proved FASTER in the
+    # fused graph than a precomputed inverse-slot gather (43 vs 52 ms).
+    attrs_t = packed[ids].T  # (FEAT, E_cap)
 
     out = _composite_core(
         attrs_t, seg_starts, counts, (tiles_y, tiles_x), chunk, interpret

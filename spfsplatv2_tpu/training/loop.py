@@ -26,7 +26,7 @@ import numpy as np
 from spfsplatv2_tpu.config import RootConfig
 from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset, collate
 from spfsplatv2_tpu.data.view_samplers import BoundedViewSampler
-from spfsplatv2_tpu.models.encoder import SPFSplatV2Encoder
+from spfsplatv2_tpu.models import get_encoder
 from spfsplatv2_tpu.parallel import make_mesh, replicate, shard_batch
 from spfsplatv2_tpu.training.optim import make_optimizer
 from spfsplatv2_tpu.training.step import (
@@ -90,7 +90,7 @@ def run_training(
     log_fn: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     """Train; returns the final TrainState-as-pytree + last metrics."""
-    encoder = SPFSplatV2Encoder(cfg.encoder)
+    encoder = get_encoder(cfg.encoder)
     sampler = BoundedViewSampler(cfg.view_sampler, stage="train")
     dataset = ChunkedSceneDataset(
         cfg.dataset,
@@ -148,16 +148,50 @@ def run_training(
             )
             lpips_params = init_lpips_params()
 
+    # Optional DUSt3R/MASt3R distillation teacher for the first
+    # `distill_max_steps` steps (reference src/model/distiller/__init__.py:9-24
+    # + model_wrapper.py:322-331).  Two step functions are compiled — with and
+    # without the teacher forward — and switched host-side at the cutoff.
+    distiller = distiller_params = None
+    if cfg.train.distiller and cfg.train.distill_max_steps > 0:
+        from spfsplatv2_tpu.models.distiller import Dust3RDistiller
+
+        distiller = Dust3RDistiller()
+        distiller_params = load_distiller_params(
+            distiller, cfg.train.distiller_weights, cfg.trainer.seed,
+            tuple(cfg.image_shape),
+        )
+
     optimizer = make_optimizer(cfg.optimizer, params)
-    step_fn = make_train_step(
-        encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
+    step_kwargs = dict(
         lpips_params=lpips_params,
         training_context=cfg.train.training_context,
     )
+    step_fn = make_train_step(
+        encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
+        **step_kwargs,
+    )
+    distill_step_fn = None
+    if distiller is not None:
+        distill_step_fn = make_train_step(
+            encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
+            distiller=distiller, distiller_params=distiller_params,
+            **step_kwargs,
+        )
     state = init_train_state(encoder, optimizer, params)
 
     mesh = make_mesh()
     state = replicate(state, mesh)
+
+    start_step = 0
+    if cfg.checkpointing.resume:
+        restored = restore_latest_checkpoint(
+            Path(cfg.output_dir) / "checkpoints", state
+        )
+        if restored is not None:
+            state, start_step = restored
+            state = replicate(state, mesh)
+            print(f"resumed from step {start_step}", flush=True)
 
     rng = np.random.default_rng(cfg.trainer.seed + jax.process_index())
     total = max_steps if max_steps is not None else cfg.trainer.max_steps
@@ -178,11 +212,16 @@ def run_training(
 
     batch = first
     t_start = time.perf_counter()
-    for step in range(total):
+    for step in range(start_step, total):
         state_holder["step"] = step
         if drop_cfg.random_drop_context_views or drop_cfg.random_drop_target_views:
             batch = random_drop_views(batch, rng, drop_cfg)
-        state, metrics = step_fn(state, to_device(batch))
+        fn = (
+            distill_step_fn
+            if distill_step_fn is not None and step <= cfg.train.distill_max_steps
+            else step_fn
+        )
+        state, metrics = fn(state, to_device(batch))
         if log_fn is not None and step % cfg.train.print_log_every_n_steps == 0:
             log_fn(step, {k: float(v) for k, v in metrics.items()})
         if (
@@ -195,8 +234,60 @@ def run_training(
             batch = next(batches)
 
     metrics = {k: float(v) for k, v in metrics.items()}
-    metrics["time/steps_per_s"] = total / (time.perf_counter() - t_start)
+    metrics["time/steps_per_s"] = (
+        (total - start_step) / (time.perf_counter() - t_start)
+    )
     return {"state": state, "metrics": metrics, "encoder": encoder}
+
+
+def load_distiller_params(
+    distiller, weights_path: Optional[str], seed: int,
+    image_shape: tuple[int, int],
+):
+    """Init the teacher and (when a torch checkpoint is given) load
+    converted DUSt3R/MASt3R weights (reference get_distiller,
+    src/model/distiller/__init__.py:9-24)."""
+    import numpy as np
+
+    h, w = image_shape
+    params = distiller.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 2, h, w, 3), jnp.float32)
+    )
+    if weights_path:
+        import torch
+
+        from spfsplatv2_tpu.utils.ckpt_convert import (
+            convert_dust3r_distiller_checkpoint,
+            merge_params,
+        )
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        sd = sd.get("model", sd.get("state_dict", sd))
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        params = merge_params(params, convert_dust3r_distiller_checkpoint(sd))
+    return params
+
+
+def restore_latest_checkpoint(ckpt_dir: Path, state_template):
+    """Resume support (reference src/main.py:71-90,216): restore the newest
+    `step_*` checkpoint into the TrainState template.  Returns
+    (state, next_step) or None when no checkpoint exists."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = []
+    for p in ckpt_dir.iterdir():
+        if p.name.startswith("step_"):
+            try:
+                steps.append((int(p.name.split("_", 1)[1]), p))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    _, latest = max(steps)
+    restored = load_checkpoint(latest, target=jax.device_get(state_template))
+    state = jax.tree.map(jnp.asarray, restored)
+    return state, int(state.step)
 
 
 def save_checkpoint(ckpt_dir: Path, state, step: int) -> None:

@@ -22,8 +22,8 @@ from spfsplatv2_tpu.geometry import se3
 from spfsplatv2_tpu.losses.lpips import lpips_loss
 from spfsplatv2_tpu.losses.mse import mse_loss
 from spfsplatv2_tpu.losses.reproj import ReprojConfig, reproj_loss
+from spfsplatv2_tpu.losses.point import regr3d_loss
 from spfsplatv2_tpu.models.decoder import DecoderConfig, decode_splatting
-from spfsplatv2_tpu.models.encoder import SPFSplatV2Encoder
 
 
 @dataclass(frozen=True)
@@ -51,7 +51,7 @@ def psnr(prediction: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def compute_losses(
-    encoder: SPFSplatV2Encoder,
+    encoder,
     params,
     batch: dict,
     global_step,
@@ -60,6 +60,8 @@ def compute_losses(
     loss_cfg: LossConfig,
     lpips_params=None,
     training_context: bool = False,
+    distiller=None,
+    distiller_params=None,
 ):
     """Forward + all training losses. Returns (total_loss, metrics dict)."""
     ctx, tgt = batch["context"], batch["target"]
@@ -112,7 +114,7 @@ def compute_losses(
         total = total + lp
 
     # Reprojection consistency on predicted context poses
-    # (reference model_wrapper.py:280-319, spfsplatv2 branch).
+    # (reference model_wrapper.py:280-319).
     if enc_out["extrinsics_cwt"] is not None:
         pts3d = enc_out["pts3d"]
         c1 = reproj_loss(
@@ -129,8 +131,44 @@ def compute_losses(
         metrics["loss/reproj_c1"] = c1
         metrics["loss/reproj_c2"] = c2
         total = total + c1 + c2
+        # v1 extra term: pose-only (detached pts3d) reprojection against the
+        # CONTEXT-ONLY decoder pass's poses (reference
+        # model_wrapper.py:284-304, spfsplat branch).
+        if (
+            enc_out.get("variant") == "spfsplat"
+            and enc_out.get("extrinsics_c") is not None
+        ):
+            c2_only = 0.0
+            for i in range(1, v_cxt):
+                c2_only = c2_only + reproj_loss(
+                    pts3d[:, i], enc_out["extrinsics_c"][:, i],
+                    ctx["intrinsics"][:, i], global_step, loss_cfg.reproj,
+                    detach_pts3d=True,
+                )
+            c2_only = c2_only / v_cxt
+            metrics["loss/reproj_c2_only"] = c2_only
+            total = total + c2_only
 
-        # Pose-error telemetry vs GT (not a loss).
+    # Pointmap distillation against the frozen DUSt3R teacher for the first
+    # `distill_max_steps` steps (reference model_wrapper.py:322-331).  The
+    # caller compiles separate with/without-distiller step functions and
+    # switches host-side, so no dead teacher forward runs after the cutoff.
+    if distiller is not None and distiller_params is not None:
+        pseudo = jax.lax.stop_gradient(
+            distiller.apply(distiller_params, ctx["image"][:, :2])
+        )
+        pts_student = enc_out["pts3d"]
+        distill = 0.1 * regr3d_loss(
+            pseudo["pts3d"][:, 0], pseudo["pts3d"][:, 1],
+            pts_student[:, 0].reshape(*pseudo["pts3d"][:, 0].shape),
+            pts_student[:, 1].reshape(*pseudo["pts3d"][:, 1].shape),
+            pseudo["conf"][:, 0], pseudo["conf"][:, 1],
+        )
+        metrics["loss/distillation"] = distill
+        total = total + distill
+
+    # Pose-error telemetry vs GT (not a loss).
+    if enc_out["extrinsics_cwt"] is not None:
         if "extrinsics" in ctx:
             rot_err = se3.rotation_angle_deg(
                 context_extrinsics[:, v_cxt - 1, :3, :3],
@@ -149,7 +187,7 @@ def compute_losses(
 
 
 def make_train_step(
-    encoder: SPFSplatV2Encoder,
+    encoder,
     optimizer: optax.GradientTransformation,
     image_shape: tuple[int, int],
     decoder_cfg: DecoderConfig = DecoderConfig(),
@@ -157,6 +195,8 @@ def make_train_step(
     lpips_params=None,
     training_context: bool = False,
     donate: bool = True,
+    distiller=None,
+    distiller_params=None,
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics)."""
 
@@ -165,6 +205,7 @@ def make_train_step(
             return compute_losses(
                 encoder, params, batch, state.step, image_shape,
                 decoder_cfg, loss_cfg, lpips_params, training_context,
+                distiller, distiller_params,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -263,6 +263,45 @@ def convert_spfsplat_checkpoint(
     return params
 
 
+def convert_dust3r_distiller_checkpoint(
+    sd: dict, enc_depth: int = 24, dec_depth: int = 12,
+    patch_hw: tuple[int, int] = (16, 16),
+) -> dict:
+    """Raw DUSt3R/MASt3R torch state dict -> Dust3RDistiller flax params.
+
+    The teacher (reference src/model/distiller/dust3r_backbone.py) is the
+    same CroCo trunk as the student backbone plus two 4-channel (pts3d +
+    conf) DPT heads, so this reuses the SPFSplat converter with conf
+    channels KEPT (the distillation loss consumes them).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if not any(k.startswith("backbone.") for k in sd):
+        sd = {
+            (
+                f"backbone.{k}"
+                if not k.startswith("downstream_head")
+                else k
+            ): v
+            for k, v in sd.items()
+        }
+    if not any("dec_blocks2" in k for k in sd):
+        for k in list(sd):
+            if ".dec_blocks." in k:
+                sd[k.replace(".dec_blocks.", ".dec_blocks2.")] = sd[k]
+
+    params = convert_spfsplat_checkpoint(
+        sd, enc_depth=enc_depth, dec_depth=dec_depth, patch_hw=patch_hw,
+        has_gs_heads=False, has_pose_heads=False,
+    )
+    # Re-convert heads keeping the confidence output channel.
+    for n in (1, 2):
+        if f"downstream_head{n}.dpt.scratch.layer1_rn.weight" in sd:
+            params[f"downstream_head{n}"] = convert_dpt_head(
+                sd, f"downstream_head{n}", gs=False, strip_conf=False
+            )
+    return params
+
+
 def merge_params(init_params: dict, converted: dict) -> dict:
     """Overlay converted weights onto freshly-initialized params.
 
@@ -270,6 +309,10 @@ def merge_params(init_params: dict, converted: dict) -> dict:
     their fresh initialization (e.g. heads absent from a raw MASt3R ckpt).
     """
     import jax
+
+    if "params" in init_params and "params" not in converted:
+        # flax .init() wraps everything in a top-level "params" collection.
+        converted = {"params": converted}
 
     def merge(dst, src, path=""):
         out = dict(dst)
