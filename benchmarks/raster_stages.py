@@ -66,6 +66,9 @@ def main():
     print(f"projection+SH: {t_proj:.2f} ms", flush=True)
 
     proj = proj_fn(means, covs, harmonics, opacities, c2w, k)
+    import numpy as np
+    np.savez("/tmp/real_proj.npz", xy=np.asarray(proj.xy),
+             depth=np.asarray(proj.depth), radius=np.asarray(proj.radius))
 
     # live entry stats (single jit so the remote tunnel compiles ONE program,
     # not one per eager op)

@@ -70,7 +70,7 @@ class CrocoBackboneConfig:
 
 
 def build_cross_view_mask(
-    v: int, num_target, dtype=jnp.float32
+    v: int, num_target, view_valid=None, dtype=jnp.float32
 ) -> jax.Array:
     """(v, v) additive mask over view blocks.
 
@@ -80,11 +80,18 @@ def build_cross_view_mask(
       * context views (first v - num_target) cannot attend to target views.
     `num_target` may be a traced scalar so one compiled graph serves every
     context/target split of a fixed total view count.
+
+    `view_valid` ((v,) bool/float, optional) marks DROPPED views (the
+    shape-stable replacement for the reference's random view-dropout
+    slicing, model_wrapper.py:91-116): invalid views are removed from every
+    memory set so attention behaves exactly as if they were absent.
     """
     idx = jnp.arange(v)
     is_target_col = idx[None, :] >= (v - num_target)
     is_context_row = idx[:, None] < (v - num_target)
     blocked = jnp.eye(v, dtype=bool) | (is_context_row & is_target_col)
+    if view_valid is not None:
+        blocked = blocked | (~view_valid.astype(bool))[None, :]
     return jnp.where(blocked, jnp.asarray(-jnp.inf, dtype), jnp.asarray(0.0, dtype))
 
 
@@ -181,12 +188,14 @@ class MaskedCrocoBackbone(nn.Module):
     cfg: CrocoBackboneConfig = field(default_factory=CrocoBackboneConfig)
 
     @nn.compact
-    def __call__(self, images, intrinsics=None, num_target=0):
+    def __call__(self, images, intrinsics=None, num_target=0, view_valid=None):
         """
         images:     (b, v, h, w, 3), already normalized to [-1, 1]
         intrinsics: (b, v, 3, 3) normalized; required if cfg.intrinsics_token
         num_target: int or traced scalar; trailing `num_target` views are
                     target views (context cannot attend to them).
+        view_valid: (v,) optional bool/float; invalid (randomly dropped)
+                    views are excluded from all attention memory sets.
 
         Returns dict:
           dec_feat:  list of (b, v, p, c) token maps — [encoder(1024d),
@@ -249,7 +258,7 @@ class MaskedCrocoBackbone(nn.Module):
         l = x.shape[2]
 
         # ---- dual masked decoder -----------------------------------------
-        view_mask = build_cross_view_mask(v, num_target)
+        view_mask = build_cross_view_mask(v, num_target, view_valid)
         outputs = [x]  # pre-projection encoder features (1024d)
         f = nn.Dense(cfg.dec_embed_dim, name="decoder_embed")(x)
         for i in range(cfg.dec_depth):

@@ -108,7 +108,14 @@ class SPFSplatV2Encoder(nn.Module):
         target_images: Optional[jax.Array] = None,
         target_intrinsics: Optional[jax.Array] = None,
         global_step: jax.Array | int = 0,
+        context_valid: Optional[jax.Array] = None,  # (v_cxt,)
+        target_valid: Optional[jax.Array] = None,   # (v_tgt,)
     ) -> dict:
+        """`context_valid`/`target_valid` implement random view dropout with
+        STATIC shapes (the reference slices the batch instead,
+        model_wrapper.py:91-116, which would recompile per shape): dropped
+        views are removed from attention memory and contribute
+        zero-opacity Gaussians."""
         cfg = self.cfg
         b, v_cxt, h, w, _ = context_images.shape
         v_tgt = 0 if target_images is None else target_images.shape[1]
@@ -122,8 +129,16 @@ class SPFSplatV2Encoder(nn.Module):
             )
         images = (images - cfg.input_mean) / cfg.input_std
 
+        view_valid = None
+        if context_valid is not None or target_valid is not None:
+            cv = (jnp.ones((v_cxt,)) if context_valid is None
+                  else context_valid.astype(jnp.float32))
+            tv = (jnp.ones((v_tgt,)) if target_valid is None
+                  else target_valid.astype(jnp.float32))
+            view_valid = jnp.concatenate([cv, tv]) if v_tgt else cv
+
         out = MaskedCrocoBackbone(cfg.backbone, name="backbone")(
-            images, intrinsics, num_target=v_tgt
+            images, intrinsics, num_target=v_tgt, view_valid=view_valid
         )
         dec_feat, pose_feat, grid = out["dec_feat"], out["pose_feat"], out["grid"]
         ctx_feat = [t[:, :v_cxt] for t in dec_feat]
@@ -174,6 +189,11 @@ class SPFSplatV2Encoder(nn.Module):
             cfg.opacity_mapping.initial, cfg.opacity_mapping.final,
             cfg.opacity_mapping.warm_up,
         )
+        if context_valid is not None:
+            # Dropped context views contribute nothing to the render.
+            opacities = opacities * context_valid.astype(opacities.dtype)[
+                None, :, None, None
+            ]
         gaussians = unified_gaussian_adapter(
             pts3d.reshape(b, v_cxt, h * w, 3),
             opacities.reshape(b, v_cxt, h * w),

@@ -70,44 +70,105 @@ def _prefix_sum_lanes(x: jax.Array, n: int) -> jax.Array:
     return x
 
 
+def _prefix_prod_lanes(x: jax.Array, n: int) -> jax.Array:
+    """Inclusive prefix product along the lane axis (roll + select)."""
+    assert n & (n - 1) == 0, f"chunk size {n} must be a power of two"
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, axis=x.ndim - 1)
+        x = x * jnp.where(lane >= k, shifted, 1.0)
+        k *= 2
+    return x
+
+
 def _pixel_grid(tile_idx, tiles_x, dtype=jnp.float32):
+    """TILE-LOCAL pixel coordinates (P, 1) plus the tile origin (1, 1).
+
+    All kernel math runs in tile-local coordinates: the Gaussian exponent
+    and its gradients are translation invariant, and local magnitudes
+    (|x| < 16, |mx_local| ~ radius) keep the f32 moment formulation in the
+    backward kernel free of catastrophic cancellation (global coords would
+    put mx^2 ~ 2.5e5 against dx^2 ~ 1e2).
+    """
     ty = (tile_idx // tiles_x).astype(dtype)
     tx = (tile_idx % tiles_x).astype(dtype)
     local_y = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, 1), 0) // TILE
     local_x = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, 1), 0) % TILE
-    px = tx * TILE + local_x.astype(dtype)
-    py = ty * TILE + local_y.astype(dtype)
-    return px, py  # each (PIX_PER_TILE, 1)
+    px = local_x.astype(dtype)
+    py = local_y.astype(dtype)
+    ox = (tx * TILE).reshape(1, 1)
+    oy = (ty * TILE).reshape(1, 1)
+    return px, py, ox, oy
 
 
-def _chunk_alpha(attrs, px, py, valid):
-    """attrs (FEAT, chunk); px/py (P, 1); valid (1, chunk) -> alpha (P, chunk)."""
-    mx = attrs[0:1, :]
-    my = attrs[1:2, :]
+def _pixel_basis(px, py):
+    """Quadratic pixel basis (PIX_PER_TILE, 8): [x2, y2, xy, x, y, 1, 0, 0].
+
+    The per-pixel-per-entry Gaussian exponent is then ONE MXU contraction
+    `basis @ qmat` instead of ~10 VPU ops per (pixel, entry).
+    """
+    ones = jnp.ones_like(px)
+    zeros = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [px * px, py * py, px * py, px, py, ones, zeros, zeros], axis=1
+    )
+
+
+def _local_means(attrs, ox, oy):
+    return attrs[0:1, :] - ox, attrs[1:2, :] - oy
+
+
+def _chunk_alpha(attrs, basis, valid, ox, oy):
+    """attrs (FEAT, chunk); basis (P, 8); valid (1, chunk) -> alpha (P, chunk).
+
+    power(p, e) = -0.5 (a dx^2 + c dy^2) - b dx dy expanded into the pixel
+    basis: coefficients [-a/2, -c/2, -b, a mx + b my, c my + b mx, const]
+    so the MXU computes the (P, chunk) exponent matrix.
+    """
+    mx, my = _local_means(attrs, ox, oy)
     ca = attrs[2:3, :]
     cb = attrs[3:4, :]
     cc = attrs[4:5, :]
     op = attrs[8:9, :]
-    dx = px - mx
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    zeros = jnp.zeros_like(mx)
+    qmat = jnp.concatenate(
+        [
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * mx + cb * my,
+            cc * my + cb * mx,
+            -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
+            zeros,
+            zeros,
+        ],
+        axis=0,
+    )  # (8, chunk)
+    power = jax.lax.dot_general(
+        basis, qmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (P, chunk)
     alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
-    return jnp.where(keep, alpha, 0.0), dx, dy
+    return jnp.where(keep, alpha, 0.0)
 
 
-def _composite_chunk(attrs, px, py, valid, t_carry, chunk):
-    """Shared forward-recurrence math. Returns (alpha, dx, dy, w, t_new)."""
-    alpha, dx, dy = _chunk_alpha(attrs, px, py, valid)
-    logom = jnp.log1p(-alpha)
-    t_incl = t_carry * jnp.exp(_prefix_sum_lanes(logom, chunk))
+def _composite_chunk(attrs, basis, valid, t_carry, chunk, ox, oy):
+    """Shared forward-recurrence math (multiplicative prefix scan)."""
+    alpha = _chunk_alpha(attrs, basis, valid, ox, oy)
+    om = 1.0 - alpha
+    t_incl = t_carry * _prefix_prod_lanes(om, chunk)
     composited = t_incl >= T_EPS
     t_excl = jnp.concatenate([t_carry, t_incl[:, :-1]], axis=1)
     w = jnp.where(composited, alpha * t_excl, 0.0)
-    t_new = t_carry * jnp.exp(
-        jnp.sum(jnp.where(composited, logom, 0.0), axis=1, keepdims=True)
+    # t_incl is non-increasing along lanes and `composited` is a prefix, so
+    # the carry update t * prod(om over composited lanes) equals the last
+    # composited t_incl — a min-reduce (Mosaic has no product reduction).
+    t_new = jnp.min(
+        jnp.where(composited, t_incl, t_carry), axis=1, keepdims=True
     )
-    return alpha, dx, dy, w, t_excl, composited, t_new
+    return alpha, w, t_excl, composited, t_new
 
 
 def _forward_kernel(
@@ -126,7 +187,8 @@ def _forward_kernel(
     count = counts_ref[t]
     n_ch = pl.cdiv(count, chunk)
 
-    px, py = _pixel_grid(t, tiles_x)
+    px, py, ox, oy = _pixel_grid(t, tiles_x)
+    basis = _pixel_basis(px, py)
 
     def dma(slot, c):
         offset = pl.multiple_of(start + c * chunk, 128)
@@ -154,8 +216,8 @@ def _forward_kernel(
             jnp.int32, (1, chunk), 1
         )
         valid = entry_idx < count
-        alpha, _, _, w, _, _, t_carry = _composite_chunk(
-            attrs, px, py, valid, t_carry, chunk
+        alpha, w, _, _, t_carry = _composite_chunk(
+            attrs, basis, valid, t_carry, chunk, ox, oy
         )
         # color += w @ rgb^T ; depth += w @ z^T  (contract the chunk axis).
         cd = attrs[5:13, :]  # rows: r g b op z pad pad pad
@@ -210,7 +272,8 @@ def _backward_kernel(
     n_ch_pad = pl.cdiv(seg_len, chunk)
     n_ch = pl.cdiv(count, chunk)
 
-    px, py = _pixel_grid(t, tiles_x)
+    px, py, ox, oy = _pixel_grid(t, tiles_x)
+    basis = _pixel_basis(px, py)
 
     g_c = grads_ref[0, :, 0:3]
     g_d = grads_ref[0, :, 3:4]
@@ -261,8 +324,8 @@ def _backward_kernel(
             jnp.int32, (1, chunk), 1
         )
         valid = entry_idx < count
-        alpha, dx, dy, w, t_excl, composited, t_new = _composite_chunk(
-            attrs, px, py, valid, t_carry, chunk
+        alpha, w, t_excl, composited, t_new = _composite_chunk(
+            attrs, basis, valid, t_carry, chunk, ox, oy
         )
 
         # u_i(p) = rgb_i . gC(p) + z_i gD(p): contract the field axis.
@@ -289,21 +352,37 @@ def _backward_kernel(
         clamped = alpha >= ALPHA_MAX
         dpow = jnp.where(clamped, 0.0, dpow)
         op = jnp.maximum(attrs[8:9, :], 1e-9)
-        dop_px = jnp.where(clamped, 0.0, (alpha / op) * dalpha)
 
+        mx, my = _local_means(attrs, ox, oy)
         ca = attrs[2:3, :]
         cb = attrs[3:4, :]
         cc = attrs[4:5, :]
 
-        def rowsum(x):  # (P, chunk) -> (1, chunk)
-            return jnp.sum(x, axis=0, keepdims=True)
-
-        d_mx = rowsum((ca * dx + cb * dy) * dpow)
-        d_my = rowsum((cc * dy + cb * dx) * dpow)
-        d_ca = rowsum(-0.5 * dx * dx * dpow)
-        d_cb = rowsum(-dx * dy * dpow)
-        d_cc = rowsum(-0.5 * dy * dy * dpow)
-        d_op = rowsum(dop_px)
+        # All pixel-polynomial gradient sums via ONE moment contraction:
+        # M_k(e) = sum_p dpow(p, e) * basis_k(p), basis = [x2 y2 xy x y 1..].
+        mom = jax.lax.dot_general(
+            basis, dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, chunk)
+        m_xx = mom[0:1, :]
+        m_yy = mom[1:2, :]
+        m_xy = mom[2:3, :]
+        m_x = mom[3:4, :]
+        m_y = mom[4:5, :]
+        m_1 = mom[5:6, :]
+        # dx-centered moments: sum dpow*dx = m_x - mx*m_1, etc.
+        sx = m_x - mx * m_1
+        sy = m_y - my * m_1
+        sxx = m_xx - 2.0 * mx * m_x + mx * mx * m_1
+        syy = m_yy - 2.0 * my * m_y + my * my * m_1
+        sxy = m_xy - mx * m_y - my * m_x + mx * my * m_1
+        d_mx = ca * sx + cb * sy
+        d_my = cc * sy + cb * sx
+        d_ca = -0.5 * sxx
+        d_cb = -sxy
+        d_cc = -0.5 * syy
+        # d_op = sum_p (alpha/op) dalpha (unclamped entries) = M_1 / op.
+        d_op = m_1 / op
         # dcolor rows (3, chunk) and ddepth row: contract the pixel axis.
         d_col = jax.lax.dot_general(
             g_c, w, (((0,), (0,)), ((), ())),

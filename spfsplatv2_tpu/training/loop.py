@@ -55,10 +55,16 @@ def batch_iterator(
 def random_drop_views(batch: dict, rng: np.random.Generator, cfg) -> dict:
     """Random context/target view dropout for multi-view training.
 
-    Reference: dropout_context_views / dropout_target_views
-    (src/model/model_wrapper.py:91-116, applied 207-217): keep a random
-    count >= 2 of context views (always keeping first and last) and a random
-    count >= 1 of target views.
+    Reference semantics (dropout_context_views / dropout_target_views,
+    src/model/model_wrapper.py:91-116, applied 207-217): keep a random
+    count >= 2 of context views (always keeping first and last) and a
+    random count >= 1 of target views.
+
+    TPU-native twist: instead of slicing the batch (which changes array
+    shapes and forces a full XLA recompile per (v_cxt, v_tgt) combination,
+    SURVEY hard part #4), emit STATIC-shape validity masks.  The train step
+    excludes masked views from attention, rendering opacity, and all loss
+    terms, so one compiled program serves every dropout draw.
     """
     out = dict(batch)
     if cfg.random_drop_context_views:
@@ -66,20 +72,18 @@ def random_drop_views(batch: dict, rng: np.random.Generator, cfg) -> dict:
         if v > 2:
             keep = int(rng.integers(2, v + 1))
             middle = rng.permutation(np.arange(1, v - 1))[: keep - 2]
-            idx = np.sort(np.concatenate([[0], middle, [v - 1]]))
-            out["context"] = {
-                k: x[:, idx] if getattr(x, "ndim", 0) > 1 else x
-                for k, x in batch["context"].items()
-            }
+            valid = np.zeros((v,), np.float32)
+            valid[[0, v - 1]] = 1.0
+            valid[middle] = 1.0
+            out["context_valid"] = valid
     if cfg.random_drop_target_views:
         v = batch["target"]["image"].shape[1]
         if v > 1:
             keep = int(rng.integers(1, v + 1))
-            idx = np.sort(rng.permutation(v)[:keep])
-            out["target"] = {
-                k: x[:, idx] if getattr(x, "ndim", 0) > 1 else x
-                for k, x in batch["target"].items()
-            }
+            idx = rng.permutation(v)[:keep]
+            valid = np.zeros((v,), np.float32)
+            valid[idx] = 1.0
+            out["target_valid"] = valid
     return out
 
 
@@ -204,11 +208,16 @@ def run_training(
             side: {
                 k: jnp.asarray(v)
                 for k, v in batch[side].items()
-                if k != "index"
+                if k not in ("index", "overlap")
             }
             for side in ("context", "target")
         }
-        return shard_batch(arrays, mesh)
+        out = shard_batch(arrays, mesh)
+        for key in ("context_valid", "target_valid"):
+            if key in batch:
+                # (v,) masks are replicated, not batch-sharded.
+                out[key] = replicate(jnp.asarray(batch[key]), mesh)
+        return out
 
     batch = first
     t_start = time.perf_counter()

@@ -67,10 +67,20 @@ def compute_losses(
     ctx, tgt = batch["context"], batch["target"]
     v_cxt = ctx["image"].shape[1]
 
+    # Optional shape-stable random view dropout masks ((v,) each): dropped
+    # views keep their array slots but are excluded from attention, render
+    # opacity, and every loss term (replaces the reference's shape-changing
+    # slicing, model_wrapper.py:91-116).
+    ctx_valid = batch.get("context_valid")
+    tgt_valid = batch.get("target_valid")
+
+    enc_kwargs = {}
+    if ctx_valid is not None or tgt_valid is not None:
+        enc_kwargs = dict(context_valid=ctx_valid, target_valid=tgt_valid)
     enc_out = encoder.apply(
         params,
         ctx["image"], ctx["intrinsics"], tgt["image"], tgt["intrinsics"],
-        global_step=global_step,
+        global_step=global_step, **enc_kwargs,
     )
 
     if enc_out["extrinsics_cwt"] is not None:
@@ -100,12 +110,42 @@ def compute_losses(
     pred_flat = dec_out.color.reshape(b * v, *dec_out.color.shape[2:])
     gt_flat = target_gt.reshape(b * v, *target_gt.shape[2:])
 
+    # Per-rendered-image weights from the target dropout mask (renders for
+    # dropped targets still execute — static shapes — but carry no loss).
+    img_w = None
+    if tgt_valid is not None and not training_context:
+        img_w = jnp.tile(tgt_valid.astype(pred_flat.dtype), b)
+    elif tgt_valid is not None and training_context:
+        cv = (jnp.ones((v_cxt,), pred_flat.dtype) if ctx_valid is None
+              else ctx_valid.astype(pred_flat.dtype))
+        img_w = jnp.tile(
+            jnp.concatenate([cv, tgt_valid.astype(pred_flat.dtype)]), b
+        )
+
     metrics = {}
-    total = mse_loss(pred_flat, gt_flat, loss_cfg.mse_weight)
+    if img_w is None:
+        total = mse_loss(pred_flat, gt_flat, loss_cfg.mse_weight)
+    else:
+        per_img = jnp.mean((pred_flat - gt_flat) ** 2, axis=(1, 2, 3))
+        total = loss_cfg.mse_weight * (
+            jnp.sum(per_img * img_w) / jnp.maximum(jnp.sum(img_w), 1.0)
+        )
     metrics["loss/mse"] = total
 
     if loss_cfg.use_lpips and lpips_params is not None:
-        lp = lpips_loss(lpips_params, pred_flat, gt_flat, loss_cfg.lpips_weight)
+        if img_w is None:
+            lp = lpips_loss(
+                lpips_params, pred_flat, gt_flat, loss_cfg.lpips_weight
+            )
+        else:
+            from spfsplatv2_tpu.losses.lpips import LPIPS
+
+            d = LPIPS().apply(
+                lpips_params, pred_flat * 2 - 1, gt_flat * 2 - 1
+            )
+            lp = loss_cfg.lpips_weight * (
+                jnp.sum(d * img_w) / jnp.maximum(jnp.sum(img_w), 1.0)
+            )
         if loss_cfg.lpips_apply_after_step > 0:
             lp = jnp.where(
                 global_step >= loss_cfg.lpips_apply_after_step, lp, 0.0
@@ -121,13 +161,21 @@ def compute_losses(
             pts3d[:, 0], context_extrinsics[:, 0], ctx["intrinsics"][:, 0],
             global_step, loss_cfg.reproj,
         )
+        n_kept = (
+            jnp.asarray(float(v_cxt))
+            if ctx_valid is None
+            else jnp.maximum(jnp.sum(ctx_valid.astype(jnp.float32)), 1.0)
+        )
         c2 = 0.0
         for i in range(1, v_cxt):
-            c2 = c2 + reproj_loss(
+            term = reproj_loss(
                 pts3d[:, i], context_extrinsics[:, i], ctx["intrinsics"][:, i],
                 global_step, loss_cfg.reproj,
             )
-        c2 = c2 / v_cxt
+            if ctx_valid is not None:
+                term = term * ctx_valid[i].astype(term.dtype)
+            c2 = c2 + term
+        c2 = c2 / n_kept
         metrics["loss/reproj_c1"] = c1
         metrics["loss/reproj_c2"] = c2
         total = total + c1 + c2
@@ -140,12 +188,15 @@ def compute_losses(
         ):
             c2_only = 0.0
             for i in range(1, v_cxt):
-                c2_only = c2_only + reproj_loss(
+                term = reproj_loss(
                     pts3d[:, i], enc_out["extrinsics_c"][:, i],
                     ctx["intrinsics"][:, i], global_step, loss_cfg.reproj,
                     detach_pts3d=True,
                 )
-            c2_only = c2_only / v_cxt
+                if ctx_valid is not None:
+                    term = term * ctx_valid[i].astype(term.dtype)
+                c2_only = c2_only + term
+            c2_only = c2_only / n_kept
             metrics["loss/reproj_c2_only"] = c2_only
             total = total + c2_only
 
