@@ -85,16 +85,26 @@ def main() -> None:
 
     pixels = iters * n_targets * h * w
     mpix_s = pixels / elapsed / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "rasterizer_fwd_bwd_throughput",
-                "value": round(mpix_s, 2),
-                "unit": "Mpix/s",
-                "vs_baseline": round(mpix_s / REFERENCE_MPIX_S_ESTIMATE, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "rasterizer_fwd_bwd_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REFERENCE_MPIX_S_ESTIMATE, 3),
+    }
+
+    # Flagship train-step numbers at the reference config (b=16, 2 ctx,
+    # 1 tgt, 256^2, full 608M model, remat'd backbone): steps/s + MFU.
+    # Best-effort — the headline metric above never depends on it.
+    import os
+
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            from benchmarks.train_bench import run as train_run
+
+            result.update(train_run(iters=5))
+        except Exception as e:  # noqa: BLE001 - report, don't fail the bench
+            result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

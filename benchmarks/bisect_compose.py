@@ -59,14 +59,14 @@ def main():
     def align_stage(m, c, hh, o):
         proj = proj_stage(m, c, hh, o)
         bins = raster_tiled.bin_gaussians(proj, (h, w), max_tiles)
-        ids, seg_starts, counts = raster_pallas.align_bins(
+        ids, counts = raster_pallas.align_bins(
             bins, chunk, max_per_tile, g)
         return ids, seg_starts, counts
 
     def gather_stage(m, c, hh, o):
         proj = proj_stage(m, c, hh, o)
         bins = raster_tiled.bin_gaussians(proj, (h, w), max_tiles)
-        ids, seg_starts, counts = raster_pallas.align_bins(
+        ids, counts = raster_pallas.align_bins(
             bins, chunk, max_per_tile, g)
         depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
         packed = jnp.concatenate(

@@ -101,7 +101,7 @@ def main():
     def align_gather(proj, ids_sorted, tile_starts):
         bins2 = raster_tiled.TileBins(
             ids_sorted, tile_starts, bins.num_tiles_xy, max_tiles)
-        ids, seg_starts, cnt = raster_pallas.align_bins(
+        ids, cnt = raster_pallas.align_bins(
             bins2, chunk, max_per_tile, g)
         depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
         packed = jnp.concatenate(
@@ -110,30 +110,31 @@ def main():
              jnp.zeros((g, raster_pallas.FEAT - 10), proj.xy.dtype)], axis=-1)
         dummy = jnp.zeros((1, raster_pallas.FEAT), packed.dtype)
         packed = jnp.concatenate([packed, dummy], axis=0)
-        return packed[ids].T, seg_starts, cnt
+        return packed[ids].T, cnt
     t_ag = timeit(lambda: align_gather(
         proj, bins.ids_sorted, bins.tile_starts))
     print(f"align+gather: {t_ag:.2f} ms", flush=True)
 
-    attrs_t, seg_starts, cnt = align_gather(
+    attrs_t, cnt = align_gather(
         proj, bins.ids_sorted, bins.tile_starts)
 
     # ---- stage 4: pallas fwd kernel alone
     core = jax.jit(functools.partial(
         raster_pallas._composite_core,
-        num_tiles_xy=bins.num_tiles_xy, chunk=chunk, interpret=False))
-    t_core = timeit(lambda: core(attrs_t, seg_starts, cnt))
+        num_tiles_xy=bins.num_tiles_xy, chunk=chunk,
+        max_per_tile=max_per_tile, interpret=False))
+    t_core = timeit(lambda: core(attrs_t, cnt))
     print(f"pallas fwd kernel: {t_core:.2f} ms", flush=True)
 
     # ---- stage 5: pallas fwd+bwd kernel alone (incl. scatter-free parts)
     @jax.jit
-    def core_grad(attrs_t, seg_starts, cnt):
+    def core_grad(attrs_t, cnt):
         def f(a):
             out = raster_pallas._composite_core(
-                a, seg_starts, cnt, bins.num_tiles_xy, chunk, False)
+                a, cnt, bins.num_tiles_xy, chunk, max_per_tile, False)
             return jnp.sum(out[..., :5])
         return jax.grad(f)(attrs_t)
-    t_coreg = timeit(lambda: core_grad(attrs_t, seg_starts, cnt))
+    t_coreg = timeit(lambda: core_grad(attrs_t, cnt))
     print(f"pallas fwd+bwd kernel: {t_coreg:.2f} ms", flush=True)
 
     # ---- end-to-end single camera

@@ -1,0 +1,116 @@
+"""Flagship train-step benchmark at the reference training configuration.
+
+Reference config (config/experiment/spfsplatv2/re10k.yaml): batch 16,
+2 context views, 1 target view, 256x256, MASt3R ViT-L backbone — the
+full SPFSplatV2 model (~608M params), losses MSE + LPIPS + reproj, 2-group
+AdamW. Reports ms/step, steps/s, and an MFU estimate from XLA's own
+cost analysis against the v5e peak (197 TFLOP/s bf16).
+
+Run: timeout 2400 python -u benchmarks/train_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+V5E_PEAK_FLOPS = 197e12
+
+
+def run(batch_size: int = 16, h: int = 256, w: int = 256,
+        use_lpips: bool = True, iters: int = 10) -> dict:
+    from spfsplatv2_tpu.models.decoder import DecoderConfig
+    from spfsplatv2_tpu.models.encoder import (
+        SPFSplatV2Config,
+        SPFSplatV2Encoder,
+    )
+    from spfsplatv2_tpu.training.optim import OptimizerConfig, make_optimizer
+    from spfsplatv2_tpu.training.step import (
+        LossConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    b, v_cxt, v_tgt = batch_size, 2, 1
+    encoder = SPFSplatV2Encoder(SPFSplatV2Config())
+
+    key = jax.random.PRNGKey(0)
+    intr = jnp.broadcast_to(
+        jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]),
+        (b, v_cxt + v_tgt, 3, 3),
+    )
+    eye = jnp.broadcast_to(jnp.eye(4), (b, v_cxt + v_tgt, 4, 4))
+
+    def views(sl, seed):
+        n = sl.stop - sl.start
+        return {
+            "image": jax.random.uniform(jax.random.PRNGKey(seed),
+                                        (b, n, h, w, 3)),
+            "intrinsics": intr[:, sl],
+            "near": jnp.full((b, n), 1.0),
+            "far": jnp.full((b, n), 100.0),
+            "extrinsics": eye[:, sl],
+        }
+
+    batch = {
+        "context": views(slice(0, v_cxt), 1),
+        "target": views(slice(v_cxt, v_cxt + v_tgt), 2),
+    }
+
+    t0 = time.perf_counter()
+    params = encoder.init(
+        jax.random.PRNGKey(2),
+        batch["context"]["image"][:1], batch["context"]["intrinsics"][:1],
+        batch["target"]["image"][:1], batch["target"]["intrinsics"][:1],
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"init: {time.perf_counter()-t0:.1f}s, {n_params/1e6:.0f}M params",
+          file=sys.stderr, flush=True)
+
+    lpips_params = None
+    if use_lpips:
+        from spfsplatv2_tpu.losses.lpips import init_lpips_params
+
+        lpips_params = init_lpips_params()
+
+    optimizer = make_optimizer(OptimizerConfig(), params)
+    step_fn = make_train_step(
+        encoder, optimizer, (h, w), DecoderConfig(),
+        LossConfig(use_lpips=use_lpips), lpips_params=lpips_params,
+        donate=True,
+    )
+    state = init_train_state(encoder, optimizer, params)
+
+    t0 = time.perf_counter()
+    lowered = step_fn.lower(state, batch)
+    compiled = lowered.compile()
+    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics = compiled(state, batch)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = compiled(state, batch)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+    mfu = flops / dt / V5E_PEAK_FLOPS if flops else None
+    out = {
+        "train_step_ms_b16": round(dt * 1e3, 1),
+        "train_steps_per_s_b16": round(1.0 / dt, 3),
+        "train_mfu_pct": round(100 * mfu, 1) if mfu else None,
+        "train_flops_per_step": flops,
+        "params_m": round(n_params / 1e6),
+    }
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()), flush=True)

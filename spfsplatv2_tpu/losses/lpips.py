@@ -61,8 +61,10 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for s, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa / jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True) + 1e-10)
-            nb = xb / jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True) + 1e-10)
+            # Canonical lpips normalize_tensor: x / (||x||_c + eps), with the
+            # eps OUTSIDE the sqrt (lpips/__init__.py normalize_tensor).
+            na = xa / (jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True)) + 1e-10)
+            nb = xb / (jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (na - nb) ** 2
             lin = self.param(
                 f"lin{s}", nn.initializers.uniform(0.1), (diff.shape[-1],)

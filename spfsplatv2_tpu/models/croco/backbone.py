@@ -36,6 +36,7 @@ from flax import linen as nn
 
 from spfsplatv2_tpu.models.croco.layers import (
     EncoderBlock,
+    ManyARPatchEmbed,
     Mlp,
     PatchEmbed,
     SelfAttention,
@@ -59,6 +60,13 @@ class CrocoBackboneConfig:
     intrinsics_token: bool = True     # intrinsics_embed_type: token @ decoder
     pose_token: bool = True           # pose_embed_type: learnable_token @ decoder
     compute_dtype: str = "bfloat16"
+    # "dust3r" (square/landscape-only) or "manyar" (mixed portrait/landscape
+    # via true_shapes; reference croco/patch_embed.py:33-71).
+    patch_embed_cls: str = "dust3r"
+    # Rematerialize transformer blocks in the backward pass (XLA remat):
+    # trades ~30% extra forward FLOPs for O(depth) activation memory,
+    # enabling the reference b=16 flagship training batch on one chip.
+    remat: bool = True
 
     @property
     def num_extra_tokens(self) -> int:
@@ -188,7 +196,8 @@ class MaskedCrocoBackbone(nn.Module):
     cfg: CrocoBackboneConfig = field(default_factory=CrocoBackboneConfig)
 
     @nn.compact
-    def __call__(self, images, intrinsics=None, num_target=0, view_valid=None):
+    def __call__(self, images, intrinsics=None, num_target=0, view_valid=None,
+                 true_shapes=None):
         """
         images:     (b, v, h, w, 3), already normalized to [-1, 1]
         intrinsics: (b, v, 3, 3) normalized; required if cfg.intrinsics_token
@@ -196,6 +205,9 @@ class MaskedCrocoBackbone(nn.Module):
                     target views (context cannot attend to them).
         view_valid: (v,) optional bool/float; invalid (randomly dropped)
                     views are excluded from all attention memory sets.
+        true_shapes: (b, v, 2) real (h, w) per view for the ManyAR embed
+                    (cfg.patch_embed_cls == "manyar"); portrait views are
+                    stored transposed in the landscape buffer.
 
         Returns dict:
           dec_feat:  list of (b, v, p, c) token maps — [encoder(1024d),
@@ -209,12 +221,27 @@ class MaskedCrocoBackbone(nn.Module):
         gh, gw = h // cfg.patch_size, w // cfg.patch_size
         p = gh * gw
 
+        enc_block_cls = nn.remat(EncoderBlock) if cfg.remat else EncoderBlock
+        dec_block_cls = (
+            nn.remat(MultiViewDecoderBlock) if cfg.remat
+            else MultiViewDecoderBlock
+        )
+
         # ---- encoder (per view, shared weights) --------------------------
-        x, pos = PatchEmbed(
-            cfg.patch_size, cfg.enc_embed_dim, cdt, name="patch_embed"
-        )(images.reshape(b * v, h, w, 3))
+        if cfg.patch_embed_cls == "manyar":
+            if true_shapes is None:
+                true_shapes = jnp.broadcast_to(
+                    jnp.asarray([h, w], jnp.int32), (b, v, 2)
+                )
+            x, pos = ManyARPatchEmbed(
+                cfg.patch_size, cfg.enc_embed_dim, cdt, name="patch_embed"
+            )(images.reshape(b * v, h, w, 3), true_shapes.reshape(b * v, 2))
+        else:
+            x, pos = PatchEmbed(
+                cfg.patch_size, cfg.enc_embed_dim, cdt, name="patch_embed"
+            )(images.reshape(b * v, h, w, 3))
         for i in range(cfg.enc_depth):
-            x = EncoderBlock(
+            x = enc_block_cls(
                 cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, cdt,
                 name=f"enc_blocks_{i}",
             )(x, pos)
@@ -265,11 +292,11 @@ class MaskedCrocoBackbone(nn.Module):
             # Asymmetric decoders: view 0 through dec_blocks, the rest
             # through dec_blocks2 (reference lines 277-302); both read the
             # full previous-layer token set as cross-attention memory.
-            f0 = MultiViewDecoderBlock(
+            f0 = dec_block_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base,
                 lo=0, hi=1, compute_dtype=cdt, name=f"dec_blocks_{i}",
             )(f, pos, view_mask)
-            f_rest = MultiViewDecoderBlock(
+            f_rest = dec_block_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base,
                 lo=1, hi=None, compute_dtype=cdt, name=f"dec_blocks2_{i}",
             )(f, pos, view_mask)

@@ -52,6 +52,7 @@ class CrocoMultiBackboneConfig:
     rope_base: float = 100.0
     intrinsics_token: bool = True
     compute_dtype: str = "bfloat16"
+    remat: bool = True  # see CrocoBackboneConfig.remat
 
     @property
     def dtype(self):
@@ -73,8 +74,13 @@ class CrocoMultiBackbone(nn.Module):
             self.intrinsic_encoder = nn.Dense(
                 cfg.enc_embed_dim, name="intrinsic_encoder"
             )
+        enc_cls = nn.remat(EncoderBlock) if cfg.remat else EncoderBlock
+        dec_cls = (
+            nn.remat(MultiViewDecoderBlock) if cfg.remat
+            else MultiViewDecoderBlock
+        )
         self.enc_blocks = [
-            EncoderBlock(
+            enc_cls(
                 cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, cdt,
                 name=f"enc_blocks_{i}",
             )
@@ -83,14 +89,14 @@ class CrocoMultiBackbone(nn.Module):
         self.enc_norm = nn.LayerNorm(dtype=jnp.float32, name="enc_norm")
         self.decoder_embed = nn.Dense(cfg.dec_embed_dim, name="decoder_embed")
         self.dec_blocks = [
-            MultiViewDecoderBlock(
+            dec_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base,
                 lo=0, hi=1, compute_dtype=cdt, name=f"dec_blocks_{i}",
             )
             for i in range(cfg.dec_depth)
         ]
         self.dec_blocks2 = [
-            MultiViewDecoderBlock(
+            dec_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base,
                 lo=1, hi=None, compute_dtype=cdt, name=f"dec_blocks2_{i}",
             )

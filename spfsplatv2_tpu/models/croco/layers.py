@@ -179,3 +179,63 @@ class PatchEmbed(nn.Module):
         pos = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
         pos = jnp.broadcast_to(pos[None], (b, gh * gw, 2))
         return x, pos
+
+
+class ManyARPatchEmbed(nn.Module):
+    """Mixed portrait/landscape patch embed (ManyAR).
+
+    Reference: src/model/encoder/backbone/croco/patch_embed.py:33-71
+    (ManyAR_PatchEmbed): every image is STORED landscape (w >= h buffer);
+    `true_shapes (b, 2)` gives each image's real (height, width).  Portrait
+    images are embedded from the transposed buffer with transposed (y, x)
+    RoPE positions.
+
+    TPU-native twist: instead of boolean-mask splitting the batch (dynamic
+    shapes -> recompile per portrait/landscape mix), BOTH orientations are
+    patchified with the shared conv (patchify is <1% of backbone FLOPs) and
+    per-image `jnp.where` selects the right tokens/positions — one static
+    program for every mix.
+    """
+
+    patch_size: int
+    embed_dim: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images, true_shapes):
+        """(b, h, w, 3) landscape buffers + (b, 2) true (h, w) ->
+        tokens (b, n, c), positions (b, n, 2)."""
+        b, h, w, _ = images.shape
+        p = self.patch_size
+        assert w >= h, f"ManyAR buffers must be landscape, got {h}x{w}"
+        assert h % p == 0 and w % p == 0, f"image {h}x{w} not divisible by {p}"
+        gh, gw = h // p, w // p
+        conv = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), dtype=self.compute_dtype,
+            name="proj",
+        )
+        x_land = conv(images.astype(self.compute_dtype))        # (b, gh, gw, c)
+        x_port = conv(
+            jnp.swapaxes(images, 1, 2).astype(self.compute_dtype)
+        )                                                       # (b, gw, gh, c)
+        n = gh * gw
+        x_land = x_land.reshape(b, n, self.embed_dim)
+        x_port = x_port.reshape(b, n, self.embed_dim)
+
+        def grid(a, bdim):
+            yy, xx = jnp.meshgrid(
+                jnp.arange(a, dtype=jnp.int32),
+                jnp.arange(bdim, dtype=jnp.int32),
+                indexing="ij",
+            )
+            return jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
+
+        pos_land = jnp.broadcast_to(grid(gh, gw)[None], (b, n, 2))
+        pos_port = jnp.broadcast_to(grid(gw, gh)[None], (b, n, 2))
+
+        is_landscape = (
+            true_shapes[:, 1] >= true_shapes[:, 0]
+        )[:, None, None]
+        x = jnp.where(is_landscape, x_land, x_port)
+        pos = jnp.where(is_landscape, pos_land, pos_port)
+        return x, pos

@@ -69,3 +69,53 @@ def decode_splatting(
         # Undo the 1/near world rescale (reference decoder_splatting_cuda.py:74-76).
         depth = depth * near[..., None, None]
     return DecoderOutput(color=out.color, depth=depth, alpha=out.alpha)
+
+
+def decode_orthographic(
+    gaussians: Gaussians,          # (b, g, ...)
+    extrinsics: jax.Array,         # (b, v, 4, 4) c2w
+    width: jax.Array,              # (b, v) world-space view width
+    height: jax.Array,             # (b, v) world-space view height
+    near: jax.Array,               # (b, v)
+    far: jax.Array,                # (b, v)
+    image_shape: tuple[int, int],
+    cfg: DecoderConfig = DecoderConfig(),
+    fov_degrees: float = 0.1,
+) -> DecoderOutput:
+    """Approximately-orthographic rendering for figures/visualization.
+
+    Reference: render_cuda_orthographic
+    (src/model/decoder/cuda_splatting.py:146-255): fake an orthographic
+    projection by RETREATING the camera along -z until a tiny
+    `fov_degrees` frustum spans the requested world-space width — rays
+    become near-parallel.  Here that reduces to a pose/near/far shift plus
+    synthesized normalized intrinsics through the standard perspective
+    rasterizer (no separate kernel needed).
+    """
+    tan_fov_x = jnp.tan(jnp.deg2rad(fov_degrees) * 0.5)
+    distance = (0.5 * width) / tan_fov_x              # (b, v)
+    tan_fov_y = 0.5 * height / distance
+
+    move_back = jnp.eye(4).at[2, 3].set(1.0)          # scaled per camera below
+    shift = (
+        jnp.broadcast_to(jnp.eye(4), extrinsics.shape)
+        .at[..., 2, 3].set(-distance)
+    )
+    extrinsics = extrinsics @ shift
+    del move_back
+
+    # Normalized pinhole K for the tiny frustum: fx = 0.5 / tan(fov/2).
+    fx = 0.5 / tan_fov_x
+    fy = 0.5 / tan_fov_y
+    k = jnp.zeros((*extrinsics.shape[:2], 3, 3), extrinsics.dtype)
+    k = (
+        k.at[..., 0, 0].set(fx)
+        .at[..., 1, 1].set(fy)
+        .at[..., 0, 2].set(0.5)
+        .at[..., 1, 2].set(0.5)
+        .at[..., 2, 2].set(1.0)
+    )
+    return decode_splatting(
+        gaussians, extrinsics, k, near + distance, far + distance,
+        image_shape, cfg,
+    )

@@ -104,16 +104,24 @@ def project_gaussians(
     txz = jnp.clip(t_cam[..., 0] / tz_safe, -lim_x, lim_x) * tz_safe
     tyz = jnp.clip(t_cam[..., 1] / tz_safe, -lim_y, lim_y) * tz_safe
 
-    zeros = jnp.zeros_like(tz_safe)
-    j_row0 = jnp.stack([fx / tz_safe, zeros, -fx * txz / (tz_safe**2)], axis=-1)
-    j_row1 = jnp.stack([zeros, fy / tz_safe, -fy * tyz / (tz_safe**2)], axis=-1)
-    jac = jnp.stack([j_row0, j_row1], axis=-2)  # (g, 2, 3)
-
-    a_mat = jnp.einsum("gij,jk->gik", jac, rot)  # (g, 2, 3)
-    cov2d = jnp.einsum("gij,gjk,glk->gil", a_mat, covariances, a_mat)
-    a = cov2d[..., 0, 0] + LOWPASS
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + LOWPASS
+    # EWA 2x2 covariance, hand-expanded over FLAT (g,) arrays.  The
+    # (g, 2, 3) einsum formulation makes XLA carry (g, 1, 1)/(g, 2, 2)
+    # intermediates with T(1,128) layouts through the JVP (12.5% VPU lane
+    # efficiency; profiled ~4.4 ms/camera); flat expansion fuses into
+    # full-width T(1024) loops.  A = J @ R with J row0 = [fx/z, 0,
+    # -fx tx/z^2], row1 = [0, fy/z, -fy ty/z^2]; cov2d = A Sigma A^T.
+    u0 = fx / tz_safe
+    u1 = fy / tz_safe
+    w0 = fx * txz / (tz_safe * tz_safe)
+    w1 = fy * tyz / (tz_safe * tz_safe)
+    a_row0 = [u0 * rot[0, k] - w0 * rot[2, k] for k in range(3)]
+    a_row1 = [u1 * rot[1, k] - w1 * rot[2, k] for k in range(3)]
+    s = [[covariances[..., l, k] for k in range(3)] for l in range(3)]
+    t0 = [sum(a_row0[l] * s[l][k] for l in range(3)) for k in range(3)]
+    t1 = [sum(a_row1[l] * s[l][k] for l in range(3)) for k in range(3)]
+    a = sum(t0[k] * a_row0[k] for k in range(3)) + LOWPASS
+    b = sum(t0[k] * a_row1[k] for k in range(3))
+    c = sum(t1[k] * a_row1[k] for k in range(3)) + LOWPASS
 
     det = a * c - b * b
     det_valid = det > 0

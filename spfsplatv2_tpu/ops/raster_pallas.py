@@ -172,7 +172,6 @@ def _composite_chunk(attrs, basis, valid, t_carry, chunk, ox, oy):
 
 
 def _forward_kernel(
-    starts_ref,      # SMEM (n_tiles + 1,) aligned segment starts
     counts_ref,      # SMEM (n_tiles,) REAL entry counts
     attrs_hbm,       # ANY (FEAT, E_cap)
     out_ref,         # VMEM (1, PIX_PER_TILE, 8)
@@ -181,9 +180,13 @@ def _forward_kernel(
     *,
     chunk: int,
     tiles_x: int,
+    max_per_tile: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
+    # Fixed-stride segment layout (align_bins): start is pure program-id
+    # arithmetic — prefetching a starts array would cost a ~1 KB synchronous
+    # SMEM copy per kernel launch (profiled ~1.9 ms each over the tunnel).
+    start = t * max_per_tile
     count = counts_ref[t]
     n_ch = pl.cdiv(count, chunk)
 
@@ -249,7 +252,6 @@ def _forward_kernel(
 
 
 def _backward_kernel(
-    starts_ref,      # SMEM (n_tiles + 1,)
     counts_ref,      # SMEM (n_tiles,)
     attrs_hbm,       # ANY (FEAT, E_cap)
     fwd_out_ref,     # VMEM (1, PIX_PER_TILE, 8)
@@ -262,14 +264,14 @@ def _backward_kernel(
     *,
     chunk: int,
     tiles_x: int,
+    max_per_tile: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
+    start = t * max_per_tile  # fixed-stride layout; see _forward_kernel
     count = counts_ref[t]
     # Write EVERY padded chunk of this segment (zeros where not computed);
     # segments tile E_cap disjointly, so slots stay exclusive.
-    seg_len = starts_ref[t + 1] - start
-    n_ch_pad = pl.cdiv(seg_len, chunk)
+    n_ch_pad = max_per_tile // chunk
     n_ch = pl.cdiv(count, chunk)
 
     px, py, ox, oy = _pixel_grid(t, tiles_x)
@@ -435,11 +437,12 @@ def _backward_kernel(
 def align_bins(
     bins: TileBins, chunk: int, max_per_tile: int, n_gauss: int
 ):
-    """Re-pack sorted entries into chunk-aligned disjoint tile segments.
+    """Re-pack sorted entries into fixed-stride disjoint tile segments.
 
-    Returns (ids_aligned (E_cap,), seg_starts (n_tiles + 1,),
-    counts (n_tiles,)) with E_cap = n_tiles * max_per_tile static. Padding
-    slots point at the dummy gaussian row (index n_gauss).
+    Returns (ids_aligned (E_cap,), counts (n_tiles,)) with
+    E_cap = n_tiles * max_per_tile static; tile t owns
+    [t * max_per_tile, (t + 1) * max_per_tile) (static strides replace a
+    searchsorted over E_cap that dominated runtime — ~100 ms at 1M entries).
     """
     tiles_y, tiles_x = bins.num_tiles_xy
     n_tiles = tiles_y * tiles_x
@@ -448,39 +451,44 @@ def align_bins(
     counts = jnp.minimum(
         bins.tile_starts[1:] - bins.tile_starts[:-1], max_per_tile
     )
-    # Fixed-stride layout: tile t owns [t * max_per_tile, (t+1) * max_per_tile).
-    # E_cap is n_tiles * max_per_tile either way, and static strides replace
-    # a searchsorted over E_cap that dominated runtime (~100 ms at 1M entries).
-    seg_starts = (
-        jnp.arange(n_tiles + 1, dtype=jnp.int32) * max_per_tile
-    )
 
     # One 2D window gather (n_tiles, max_per_tile): fast at runtime AND fast
     # to compile (a vmapped dynamic_slice unrolls into n_tiles ops and takes
     # minutes to compile; a flat per-entry gather with computed tile indices
     # runs ~20x slower).
     ids_padded = jnp.concatenate(
-        [bins.ids_sorted, jnp.full((max_per_tile,), n_gauss, jnp.int32)]
+        [bins.ids_sorted, jnp.zeros((max_per_tile,), jnp.int32)]
     )
     offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     src = starts[:, None] + offset
     valid = offset < counts[:, None]
-    ids = jnp.where(valid, ids_padded[src], n_gauss)
-    return ids.reshape(-1), seg_starts, counts
+    # Padding slots get SPREAD row indices, not one shared dummy row: ~60%
+    # of slots are padding, and a gather/scatter where most indices hit the
+    # SAME row serializes on one memory bank (profiled 7.5 ms vs 0.11 ms
+    # for the same gather with spread indices).  The compositing kernels
+    # mask entries beyond the real count, so gathered garbage is inert and
+    # the scatter-add VJP deposits exact zeros at the spread rows.
+    spread = (
+        jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+        + counts[:, None]
+    ) % jnp.int32(n_gauss)
+    ids = jnp.where(valid, ids_padded[src], spread)
+    return ids.reshape(-1), counts
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_core(attrs_t, seg_starts, counts, num_tiles_xy, chunk,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _composite_core(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
                     interpret):
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
-    kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x)
+    kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x,
+                               max_per_tile=max_per_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+            (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -493,37 +501,39 @@ def _composite_core(attrs_t, seg_starts, counts, num_tiles_xy, chunk,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, PIX_PER_TILE, 8), jnp.float32),
         interpret=interpret,
-    )(seg_starts, counts, attrs_t)
+    )(counts, attrs_t)
 
 
-def _composite_core_fwd(attrs_t, seg_starts, counts, num_tiles_xy, chunk,
+def _composite_core_fwd(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
                         interpret):
     out = _composite_core(
-        attrs_t, seg_starts, counts, num_tiles_xy, chunk, interpret
+        attrs_t, counts, num_tiles_xy, chunk, max_per_tile, interpret
     )
-    return out, (attrs_t, seg_starts, counts, out)
+    return out, (attrs_t, counts, out)
 
 
-def _composite_core_bwd(num_tiles_xy, chunk, interpret, residuals, g):
-    attrs_t, seg_starts, counts, fwd_out = residuals
+def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret,
+                        residuals, g):
+    attrs_t, counts, fwd_out = residuals
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     grads = jnp.concatenate(
         [g[..., 0:3], g[..., 3:4], g[..., 4:5], jnp.zeros_like(g[..., 5:8])],
         axis=-1,
     )
-    kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x)
+    kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x,
+                               max_per_tile=max_per_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+                (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, PIX_PER_TILE, 8), lambda t, s, c: (t, 0, 0),
+                (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -541,13 +551,10 @@ def _composite_core_bwd(num_tiles_xy, chunk, interpret, residuals, g):
         out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seg_starts, counts, attrs_t, fwd_out, grads)
-    # The region past the last segment belongs to no tile; zero it.
-    e_cap = attrs_t.shape[1]
-    in_use = (
-        jnp.arange(e_cap, dtype=jnp.int32)[None, :] < seg_starts[-1]
-    )
-    return jnp.where(in_use, dattrs, 0.0), None, None
+    )(counts, attrs_t, fwd_out, grads)
+    # Every chunk of every segment is written by its owning tile (zeros
+    # beyond the real count), and segments tile E_cap exactly.
+    return dattrs, None
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
@@ -585,20 +592,20 @@ def composite_pallas(
         ],
         axis=-1,
     )
-    dummy = jnp.zeros((1, FEAT), packed.dtype).at[0, 0:2].set(-1e9)
-    packed = jnp.concatenate([packed, dummy], axis=0)
     n_gauss = proj.xy.shape[0]
+    if bins.order is not None:
+        # ids_sorted indexes depth-permuted rows (see bin_gaussians).
+        packed = packed[bins.order]
 
-    ids, seg_starts, counts = align_bins(bins, chunk, max_per_tile, n_gauss)
+    ids, counts = align_bins(bins, chunk, max_per_tile, n_gauss)
     # Differentiable ROW gather ((E_cap, FEAT) rows lower to fast TPU
     # dynamic-gathers; a lane-axis gather of the transposed buffer does
     # not) followed by one transpose into the kernel's (FEAT, E_cap) DMA
-    # layout.  The gather VJP's duplicate scatter-add proved FASTER in the
-    # fused graph than a precomputed inverse-slot gather (43 vs 52 ms).
+    # layout.  Padding ids are spread across rows (see align_bins).
     attrs_t = packed[ids].T  # (FEAT, E_cap)
 
     out = _composite_core(
-        attrs_t, seg_starts, counts, (tiles_y, tiles_x), chunk, interpret
+        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret
     )  # (n_tiles, P, 8)
 
     color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]

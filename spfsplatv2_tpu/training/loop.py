@@ -203,6 +203,22 @@ def run_training(
     metrics = {}
     drop_cfg = cfg.train
 
+    # Validation scene source (reference val dataloader, limit_val_batches=1:
+    # one scene per val_check_interval).  Falls back to the train split when
+    # no `val` split exists; never fatal.
+    val_example = None
+    if cfg.trainer.val_check_interval and jax.process_index() == 0:
+        try:
+            val_ds = ChunkedSceneDataset(
+                cfg.dataset,
+                BoundedViewSampler(cfg.view_sampler, stage="val"),
+                stage="val",
+                seed=cfg.trainer.seed,
+            )
+            val_example = next(iter(val_ds.epoch(0, global_step=0)))
+        except (StopIteration, FileNotFoundError, OSError) as e:
+            print(f"validation disabled (no val split): {e}", flush=True)
+
     def to_device(batch):
         arrays = {
             side: {
@@ -233,6 +249,31 @@ def run_training(
         state, metrics = fn(state, to_device(batch))
         if log_fn is not None and step % cfg.train.print_log_every_n_steps == 0:
             log_fn(step, {k: float(v) for k, v in metrics.items()})
+        if (
+            val_example is not None
+            and step > 0
+            and step % cfg.trainer.val_check_interval == 0
+        ):
+            from spfsplatv2_tpu.training.validation import run_validation_step
+
+            val_metrics = run_validation_step(
+                encoder,
+                jax.device_get(state.params),
+                val_example,
+                tuple(cfg.image_shape),
+                decoder_cfg=cfg.decoder,
+                lpips_params=lpips_params,
+                out_dir=cfg.output_dir,
+                step=step,
+            )
+            print(
+                f"[val @ {step}] "
+                + " ".join(f"{k.split('/', 1)[1]}={v:.4g}"
+                           for k, v in sorted(val_metrics.items())),
+                flush=True,
+            )
+            if log_fn is not None:
+                log_fn(step, val_metrics)
         if (
             cfg.checkpointing.every_n_train_steps
             and step > 0

@@ -17,7 +17,8 @@ class TestConfig:
     def test_defaults(self):
         cfg = load_config()
         assert cfg.mode == "train"
-        assert cfg.encoder.backbone.enc_depth == 24
+        assert cfg.encoder.name == "spfsplatv2"
+        assert cfg.encoder.variant_cfg.backbone.enc_depth == 24
         assert cfg.optimizer.lr == 1e-4
         assert cfg.image_shape == (256, 256)
 
@@ -28,13 +29,13 @@ class TestConfig:
             "dataset:\n  roots: [/data/re10k]\n"
         )
         cfg = load_config(
-            [p], ["mode=test", "encoder.sh_degree=2", "trainer.max_steps=100"]
+            [p], ["mode=test", "encoder.spfsplatv2.sh_degree=2", "trainer.max_steps=100"]
         )
         assert cfg.optimizer.lr == pytest.approx(2e-4)
         assert cfg.trainer.batch_size == 4
         assert cfg.dataset.roots == ("/data/re10k",)
         assert cfg.mode == "test"
-        assert cfg.encoder.sh_degree == 2
+        assert cfg.encoder.spfsplatv2.sh_degree == 2
         assert cfg.trainer.max_steps == 100
 
     def test_unknown_key_rejected(self):
@@ -42,9 +43,9 @@ class TestConfig:
             load_config(None, ["optimizer.bogus_key=1"])
 
     def test_nested_dataclasses_typed(self):
-        cfg = load_config(None, ["encoder.backbone.enc_depth=2"])
-        assert cfg.encoder.backbone.enc_depth == 2
-        assert isinstance(cfg.encoder.backbone.enc_depth, int)
+        cfg = load_config(None, ["encoder.spfsplatv2.backbone.enc_depth=2"])
+        assert cfg.encoder.spfsplatv2.backbone.enc_depth == 2
+        assert isinstance(cfg.encoder.spfsplatv2.backbone.enc_depth, int)
 
 
 class TestPly:
