@@ -122,7 +122,7 @@ def main():
     core = jax.jit(functools.partial(
         raster_pallas._composite_core,
         num_tiles_xy=bins.num_tiles_xy, chunk=chunk,
-        max_per_tile=max_per_tile, interpret=False))
+        max_per_tile=max_per_tile, interpret=False, n_cam=1))
     t_core = timeit(lambda: core(attrs_t, cnt))
     print(f"pallas fwd kernel: {t_core:.2f} ms", flush=True)
 
@@ -131,7 +131,7 @@ def main():
     def core_grad(attrs_t, cnt):
         def f(a):
             out = raster_pallas._composite_core(
-                a, cnt, bins.num_tiles_xy, chunk, max_per_tile, False)
+                a, cnt, bins.num_tiles_xy, chunk, max_per_tile, False, 1)
             return jnp.sum(out[..., :5])
         return jax.grad(f)(attrs_t)
     t_coreg = timeit(lambda: core_grad(attrs_t, cnt))

@@ -181,6 +181,7 @@ def _forward_kernel(
     chunk: int,
     tiles_x: int,
     max_per_tile: int,
+    tiles_per_cam: int,
 ):
     t = pl.program_id(0)
     # Fixed-stride segment layout (align_bins): start is pure program-id
@@ -190,7 +191,9 @@ def _forward_kernel(
     count = counts_ref[t]
     n_ch = pl.cdiv(count, chunk)
 
-    px, py, ox, oy = _pixel_grid(t, tiles_x)
+    # Multi-camera grids concatenate each camera's tiles; pixel coords
+    # depend only on the within-camera tile index.
+    px, py, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
     basis = _pixel_basis(px, py)
 
     def dma(slot, c):
@@ -265,6 +268,7 @@ def _backward_kernel(
     chunk: int,
     tiles_x: int,
     max_per_tile: int,
+    tiles_per_cam: int,
 ):
     t = pl.program_id(0)
     start = t * max_per_tile  # fixed-stride layout; see _forward_kernel
@@ -274,7 +278,7 @@ def _backward_kernel(
     n_ch_pad = max_per_tile // chunk
     n_ch = pl.cdiv(count, chunk)
 
-    px, py, ox, oy = _pixel_grid(t, tiles_x)
+    px, py, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
     basis = _pixel_basis(px, py)
 
     g_c = grads_ref[0, :, 0:3]
@@ -476,16 +480,17 @@ def align_bins(
     return ids.reshape(-1), counts
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _composite_core(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
-                    interpret):
+                    interpret, n_cam):
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x,
-                               max_per_tile=max_per_tile)
+                               max_per_tile=max_per_tile,
+                               tiles_per_cam=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_cam * n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
@@ -499,20 +504,22 @@ def _composite_core(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX_PER_TILE, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_cam * n_tiles, PIX_PER_TILE, 8), jnp.float32
+        ),
         interpret=interpret,
     )(counts, attrs_t)
 
 
 def _composite_core_fwd(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
-                        interpret):
+                        interpret, n_cam):
     out = _composite_core(
-        attrs_t, counts, num_tiles_xy, chunk, max_per_tile, interpret
+        attrs_t, counts, num_tiles_xy, chunk, max_per_tile, interpret, n_cam
     )
     return out, (attrs_t, counts, out)
 
 
-def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret,
+def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
                         residuals, g):
     attrs_t, counts, fwd_out = residuals
     tiles_y, tiles_x = num_tiles_xy
@@ -522,10 +529,11 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret,
         axis=-1,
     )
     kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x,
-                               max_per_tile=max_per_tile)
+                               max_per_tile=max_per_tile,
+                               tiles_per_cam=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_cam * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
@@ -605,7 +613,7 @@ def composite_pallas(
     attrs_t = packed[ids].T  # (FEAT, E_cap)
 
     out = _composite_core(
-        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret
+        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret, 1
     )  # (n_tiles, P, 8)
 
     color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
@@ -617,6 +625,105 @@ def composite_pallas(
         x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
         x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
         return x[:h, :w]
+
+    return (
+        untile(color_t),
+        untile(depth_t[..., None])[..., 0],
+        untile(alpha_t[..., None])[..., 0],
+    )
+
+
+def align_bins_batched(bins, chunk: int, max_per_tile: int, n_gauss: int):
+    """Multi-camera align_bins over the flat (cam * n_tiles) tile space.
+
+    Returns (ids (cam * n_tiles * max_per_tile,) GLOBAL rows into the
+    (cam * g,) flattened per-camera attribute table, counts (cam * n_tiles,)).
+    """
+    tiles_y, tiles_x = bins.num_tiles_xy
+    n_tiles = tiles_y * tiles_x
+    cam = bins.n_cam
+
+    starts = bins.tile_starts[:, :-1].reshape(-1)
+    counts = jnp.minimum(
+        bins.tile_starts[:, 1:] - bins.tile_starts[:, :-1], max_per_tile
+    ).reshape(-1)
+
+    ids_padded = jnp.concatenate(
+        [bins.ids_sorted, jnp.zeros((max_per_tile,), jnp.int32)]
+    )
+    offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    src = starts[:, None] + offset
+    valid = offset < counts[:, None]
+    # Spread padding rows within each camera's block (see align_bins).
+    spread = (offset + counts[:, None]) % jnp.int32(n_gauss)
+    local = jnp.where(valid, ids_padded[src], spread)
+    cam_of_tile = (
+        jnp.arange(cam * n_tiles, dtype=jnp.int32)[:, None] // jnp.int32(n_tiles)
+    )
+    ids = local + cam_of_tile * jnp.int32(n_gauss)
+    return ids.reshape(-1), counts
+
+
+def composite_pallas_batched(
+    proj: ProjectedGaussians,      # fields lead with (cam,)
+    bins,                          # BatchedTileBins
+    image_shape: tuple[int, int],
+    background: jax.Array,         # (cam, 3)
+    chunk: int = 256,
+    max_per_tile: int = 4096,
+    interpret: bool | None = None,
+):
+    """All-camera compositing in ONE kernel launch pair (grid = cam * tiles).
+
+    Same math as composite_pallas per camera; the XLA-side align/gather/
+    scatter stages and both Pallas launches are batched so their fixed
+    latencies are paid once instead of n_cam times.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = bins.num_tiles_xy
+    cam = bins.n_cam
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert max_per_tile % chunk == 0
+    if not interpret:
+        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    packed = jnp.concatenate(
+        [
+            proj.xy,                    # 0:2
+            proj.conic,                 # 2:5
+            proj.color,                 # 5:8
+            proj.opacity[..., None],    # 8
+            depth_safe[..., None],      # 9
+            jnp.zeros((*proj.xy.shape[:2], FEAT - 10), proj.xy.dtype),
+        ],
+        axis=-1,
+    )                                   # (cam, g, FEAT)
+    n_gauss = proj.xy.shape[1]
+    packed = jnp.take_along_axis(packed, bins.order[..., None], axis=1)
+    packed = packed.reshape(cam * n_gauss, FEAT)
+
+    ids, counts = align_bins_batched(bins, chunk, max_per_tile, n_gauss)
+    attrs_t = packed[ids].T             # (FEAT, cam * E_cap)
+
+    out = _composite_core(
+        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret,
+        cam,
+    )                                   # (cam * n_tiles, P, 8)
+    out = out.reshape(cam, tiles_y * tiles_x, PIX_PER_TILE, 8)
+
+    color_t = out[..., 0:3] + out[..., 5:6] * background[:, None, None, :]
+    depth_t = out[..., 3]
+    alpha_t = out[..., 4]
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 4 else 1
+        x = x.reshape(cam, tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            cam, tiles_y * TILE, tiles_x * TILE, c
+        )
+        return x[:, :h, :w]
 
     return (
         untile(color_t),

@@ -140,6 +140,109 @@ def bin_gaussians(
     )
 
 
+class BatchedTileBins(NamedTuple):
+    """Multi-camera tile bins over the combined (cam * n_tiles) tile space.
+
+    One sort/searchsorted/gather pipeline covers ALL cameras: the fixed
+    per-stage latencies (kernel launches, sub-ms copies of small arrays over
+    the device link) that an unrolled per-camera loop pays n_cam times are
+    paid once.  ids_sorted holds PER-CAMERA depth-permuted row indices;
+    `order (cam, g)` maps them back to original gaussian rows.
+    """
+
+    ids_sorted: jax.Array    # (cam * g * dup,)
+    tile_starts: jax.Array   # (cam, n_tiles + 1) global positions
+    num_tiles_xy: tuple[int, int]
+    n_cam: int
+    max_tiles_per_gaussian: int
+    order: jax.Array         # (cam, g)
+
+
+def bin_gaussians_batched(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int,
+) -> BatchedTileBins:
+    """Batched-camera variant of bin_gaussians; proj fields lead with (cam,).
+
+    Identical math per camera (see bin_gaussians), but the duplicate
+    expansion of every camera lands in ONE flat sort keyed by
+    (camera, tile, depth-rank) packed into a single narrow integer.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
+    n_tiles = tiles_y * tiles_x
+
+    xy = jax.lax.stop_gradient(proj.xy)          # (cam, g, 2)
+    depth = jax.lax.stop_gradient(proj.depth)    # (cam, g)
+    radius = proj.radius
+    cam, g = depth.shape
+
+    order = jnp.argsort(depth, axis=-1, stable=False).astype(jnp.int32)
+    xy = jnp.take_along_axis(xy, order[..., None], axis=1)
+    radius = jnp.take_along_axis(radius, order, axis=1)
+    depth_s = jnp.take_along_axis(depth, order, axis=1)
+
+    live = (radius > 0) & jnp.isfinite(depth_s)
+
+    r = radius.astype(xy.dtype)
+    x0 = jnp.clip(jnp.floor((xy[..., 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy[..., 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy[..., 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy[..., 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    bw = jnp.where(live, x1 - x0, 0)
+    bh = jnp.where(live, y1 - y0, 0)
+    n_touched = bw * bh
+
+    d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, None, :]
+    bw_safe = jnp.maximum(bw, 1)[..., None]
+    dy = d // bw_safe
+    dx = d % bw_safe
+    slot_ok = (d < n_touched[..., None]) & live[..., None]
+    tile_id = jnp.where(
+        slot_ok,
+        (y0[..., None] + dy) * tiles_x + (x0[..., None] + dx),
+        n_tiles,
+    ).astype(jnp.int32)                           # (cam, g, dup)
+
+    # Combined segment id: camera-major, per-camera sentinel tile n_tiles
+    # sits between cameras so each camera's dead entries stay in its own
+    # tail.  Packing (seg, row) into one int32 keeps the sort on the
+    # single-stream fast path (see bin_gaussians).
+    row_bits = max((g - 1).bit_length(), 1)
+    seg = (
+        jnp.arange(cam, dtype=jnp.int32)[:, None, None] * jnp.int32(n_tiles + 1)
+        + tile_id
+    )
+    row = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[None, :, None], tile_id.shape
+    )
+    bound_seg = (
+        jnp.arange(cam, dtype=jnp.int32)[:, None] * jnp.int32(n_tiles + 1)
+        + jnp.arange(n_tiles + 1, dtype=jnp.int32)[None, :]
+    )                                             # (cam, n_tiles + 1)
+    key_max_bits = row_bits + int(cam * (n_tiles + 1)).bit_length()
+    if key_max_bits <= 31:
+        key = seg * jnp.int32(1 << row_bits) + row
+        key_sorted = jax.lax.sort(key.reshape(-1), dimension=0, is_stable=False)
+        ids_sorted = jnp.bitwise_and(key_sorted, jnp.int32((1 << row_bits) - 1))
+        tile_starts = jnp.searchsorted(
+            key_sorted, bound_seg.reshape(-1) * jnp.int32(1 << row_bits)
+        ).astype(jnp.int32)
+    else:
+        seg_sorted, ids_sorted = jax.lax.sort(
+            (seg.reshape(-1), row.reshape(-1)),
+            dimension=0, num_keys=2, is_stable=False,
+        )
+        tile_starts = jnp.searchsorted(
+            seg_sorted, bound_seg.reshape(-1)
+        ).astype(jnp.int32)
+    return BatchedTileBins(
+        ids_sorted, tile_starts.reshape(cam, n_tiles + 1),
+        (tiles_y, tiles_x), cam, max_tiles_per_gaussian, order,
+    )
+
+
 def composite_tiles(
     proj: ProjectedGaussians,
     bins: TileBins,

@@ -10,7 +10,10 @@ plain autodiff-able XLA.
 Backends:
   * "tiled"     — tile-binned XLA path (default; fast, fully differentiable)
   * "reference" — dense O(pixels x gaussians) oracle (tests / tiny scenes)
-  * "pallas"    — hand-written TPU kernel (see raster_pallas)
+  * "pallas"    — hand-written TPU kernel (see raster_pallas), unrolled
+                  per-camera pipeline (scatters overlap across cameras)
+  * "pallas_batched" — one flat pipeline over all cameras (slower on v5e;
+                  kept for re-evaluation, see render())
 """
 
 from __future__ import annotations
@@ -124,11 +127,50 @@ def render(
             means = means * scale[:, None, None]
             covariances = covariances * (scale[:, None, None, None] ** 2)
 
-    # Unrolled camera loop instead of jax.vmap: batching the pallas custom
-    # VJP turns the per-camera gradient scatter-adds into one batched
-    # scatter that XLA serializes ~3x slower; unrolled branches keep each
-    # camera's scatter independent and let the scheduler overlap them.
     n_cam = extrinsics.shape[0]
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+    if backend == "pallas_batched":
+        # ALL cameras through one flat pipeline (one binning sort, one
+        # aligned gather, one kernel launch pair with grid = cam * tiles).
+        # Measured SLOWER than the unrolled loop on v5e (f+b 255.8 ms vs
+        # 132.8 ms at 4cam/256^2/131k G): the flat backward's single big
+        # gradient scatter serializes worse than 4 independent per-camera
+        # scatters that the scheduler overlaps.  Kept as a selectable
+        # backend for future re-evaluation, NOT the default.
+        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_batched
+        from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_batched
+
+        if shared:
+            means = jnp.broadcast_to(means[None], (n_cam, *means.shape))
+            covariances = jnp.broadcast_to(
+                covariances[None], (n_cam, *covariances.shape)
+            )
+            harmonics = jnp.broadcast_to(
+                harmonics[None], (n_cam, *harmonics.shape)
+            )
+            opacities = jnp.broadcast_to(
+                opacities[None], (n_cam, *opacities.shape)
+            )
+        project = partial(
+            project_gaussians,
+            image_shape=image_shape, sh_degree=sh_degree, use_sh=cfg.use_sh,
+            ewa_reference_shape=ewa_reference_shape,
+        )
+        proj = jax.vmap(project)(
+            means, covariances, harmonics, opacities, extrinsics, intrinsics
+        )
+        bins = bin_gaussians_batched(
+            proj, image_shape, cfg.max_tiles_per_gaussian
+        )
+        color, depth, alpha = composite_pallas_batched(
+            proj, bins, image_shape, background,
+            chunk=cfg.chunk, max_per_tile=cfg.max_per_tile,
+        )
+        return RenderOutput(color=color, depth=depth, alpha=alpha)
+
     outs = []
     for i in range(n_cam):
         sel = (lambda x: x) if shared else (lambda x: x[i])
