@@ -84,63 +84,63 @@ def main():
     print(f"per-tile count: mean {cmean:.0f} max {cmax:.0f}", flush=True)
     print(f"live gaussians (radius>0): {live:.0f}", flush=True)
 
-    # ---- stage 2: binning (sort)
+    entry_budget = 2 * g  # compact-layout budget (live ~1.61g at this scene)
+
+    # ---- stage 2: compact binning (expand + scan + scatter + sort)
     @jax.jit
     def bin_fn(proj):
-        b = raster_tiled.bin_gaussians(proj, image_shape, max_tiles)
-        return b.ids_sorted, b.tile_starts
+        b = raster_tiled.bin_gaussians_compact(
+            proj, image_shape, max_tiles, chunk, max_per_tile, entry_budget)
+        return b.src, b.slot_live, b.counts, b.starts
     t_bin = timeit(lambda: bin_fn(proj))
-    print(f"binning (dup+sort): {t_bin:.2f} ms", flush=True)
-    ids_sorted_v, tile_starts_v = bin_fn(proj)
+    print(f"binning (compact+sort): {t_bin:.2f} ms", flush=True)
+    src_v, live_v, cnt_v, starts_v = bin_fn(proj)
     tiles_y, tiles_x = -(-h // raster_tiled.TILE), -(-w // raster_tiled.TILE)
-    bins = raster_tiled.TileBins(
-        ids_sorted_v, tile_starts_v, (tiles_y, tiles_x), max_tiles)
+    e_aligned = src_v.shape[0]
+    bins = raster_tiled.CompactBins(
+        src_v, live_v, cnt_v, starts_v, (tiles_y, tiles_x), e_aligned)
 
-    # ---- stage 3: align + gather into attrs_t
+    # ---- stage 3: attribute gather into attrs_t
     @jax.jit
-    def align_gather(proj, ids_sorted, tile_starts):
-        bins2 = raster_tiled.TileBins(
-            ids_sorted, tile_starts, bins.num_tiles_xy, max_tiles)
-        ids, cnt = raster_pallas.align_bins(
-            bins2, chunk, max_per_tile, g)
+    def gather_fn(proj, src, live):
         depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
         packed = jnp.concatenate(
             [proj.xy, proj.conic, proj.color, proj.opacity[:, None],
-             depth_safe[:, None],
-             jnp.zeros((g, raster_pallas.FEAT - 10), proj.xy.dtype)], axis=-1)
-        dummy = jnp.zeros((1, raster_pallas.FEAT), packed.dtype)
-        packed = jnp.concatenate([packed, dummy], axis=0)
-        return packed[ids].T, cnt
-    t_ag = timeit(lambda: align_gather(
-        proj, bins.ids_sorted, bins.tile_starts))
-    print(f"align+gather: {t_ag:.2f} ms", flush=True)
+             depth_safe[:, None]], axis=-1)
+        rows = jnp.where(live[:, None], packed[src], 0.0)
+        return jnp.concatenate(
+            [rows.T, jnp.zeros((raster_pallas.FEAT - 10, e_aligned))], axis=0)
+    t_ag = timeit(lambda: gather_fn(proj, bins.src, bins.slot_live))
+    print(f"attr gather (10 x {e_aligned}): {t_ag:.2f} ms", flush=True)
 
-    attrs_t, cnt = align_gather(
-        proj, bins.ids_sorted, bins.tile_starts)
+    attrs_t = gather_fn(proj, bins.src, bins.slot_live)
 
     # ---- stage 4: pallas fwd kernel alone
     core = jax.jit(functools.partial(
         raster_pallas._composite_core,
         num_tiles_xy=bins.num_tiles_xy, chunk=chunk,
-        max_per_tile=max_per_tile, interpret=False, n_cam=1))
-    t_core = timeit(lambda: core(attrs_t, cnt))
+        max_per_tile=max_per_tile, interpret=False, n_cam=1,
+        padded_capacity=False))
+    t_core = timeit(lambda: core(attrs_t, cnt_v, starts_v))
     print(f"pallas fwd kernel: {t_core:.2f} ms", flush=True)
 
     # ---- stage 5: pallas fwd+bwd kernel alone (incl. scatter-free parts)
     @jax.jit
-    def core_grad(attrs_t, cnt):
+    def core_grad(attrs_t, cnt, starts):
         def f(a):
             out = raster_pallas._composite_core(
-                a, cnt, bins.num_tiles_xy, chunk, max_per_tile, False, 1)
+                a, cnt, starts, bins.num_tiles_xy, chunk, max_per_tile,
+                False, 1, False)
             return jnp.sum(out[..., :5])
         return jax.grad(f)(attrs_t)
-    t_coreg = timeit(lambda: core_grad(attrs_t, cnt))
+    t_coreg = timeit(lambda: core_grad(attrs_t, cnt_v, starts_v))
     print(f"pallas fwd+bwd kernel: {t_coreg:.2f} ms", flush=True)
 
     # ---- end-to-end single camera
     cfg = RasterizerConfig(backend="pallas", scale_invariant=False,
                            max_per_tile=max_per_tile, chunk=chunk,
-                           max_tiles_per_gaussian=max_tiles)
+                           max_tiles_per_gaussian=max_tiles,
+                           entry_budget=entry_budget)
     near = jnp.ones((1,)); far = jnp.full((1,), 100.0)
     bg = jnp.zeros((1, 3))
     e1 = c2w[None]; k1 = k[None]

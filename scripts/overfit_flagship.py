@@ -1,0 +1,89 @@
+"""Flagship-scale convergence proof: overfit ONE synthetic scene on TPU.
+
+Runs the FULL-SIZE SPFSplatV2 encoder (default config, ~608M params) on a
+single synthetic scene (reference overfit harness:
+src/dataset/dataset_re10k.py:93-95,121-124) and logs the PSNR curve to
+artifacts/overfit_flagship.json.  Done-criterion from the round-1 verdict:
+PSNR > 25 with the full model, demonstrating end-to-end gradient quality
+through the Pallas rasterizer backward at scale.
+
+Run (TPU, ~15-25 min incl. compile):
+  timeout 5400 env PYTHONPATH=/root/repo:/root/.axon_site \
+    python -u scripts/overfit_flagship.py > /tmp/overfit_flagship.log 2>&1
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    from spfsplatv2_tpu.config import load_config
+    from spfsplatv2_tpu.data.synthetic import write_synthetic_dataset
+    from spfsplatv2_tpu.training.loop import run_training
+
+    root = tempfile.mkdtemp(prefix="synth_flagship_")
+    write_synthetic_dataset(root, num_scenes=1, num_frames=30,
+                            image_hw=(256, 256))
+
+    max_steps = 1500
+    cfg = load_config(None, [
+        f"dataset.roots=[{root}]",
+        "dataset.input_image_shape=[256,256]",
+        "dataset.original_image_shape=[256,256]",
+        "dataset.augment=false",
+        "dataset.overfit_to_scene=scene_000",
+        "view_sampler.min_distance_between_context_views=4",
+        "view_sampler.max_distance_between_context_views=8",
+        "view_sampler.warm_up_steps=0",
+        "trainer.batch_size=2",
+        "loss.use_lpips=false",
+        "optimizer.lr=1.5e-4",
+        "optimizer.warm_up_steps=100",
+        f"optimizer.max_steps={max_steps}",
+        "image_shape=[256,256]",
+        "checkpointing.every_n_train_steps=0",
+        "train.print_log_every_n_steps=25",
+    ])
+
+    curve: list[dict] = []
+
+    def log(step, metrics):
+        entry = {
+            "step": int(step),
+            "loss": round(float(metrics["loss/total"]), 5),
+            "psnr": round(float(metrics["train/psnr"]), 3),
+        }
+        curve.append(entry)
+        print(f"step {step}: loss {entry['loss']:.4f} "
+              f"psnr {entry['psnr']:.2f}", flush=True)
+
+    out = run_training(cfg, max_steps=max_steps, log_fn=log)
+
+    psnrs = [e["psnr"] for e in curve]
+    result = {
+        "model": "SPFSplatV2 flagship (default config)",
+        "scene": "synthetic scene_000, 256x256, b=2",
+        "steps": max_steps,
+        "final_psnr": psnrs[-1] if psnrs else None,
+        "best_psnr": max(psnrs) if psnrs else None,
+        "steps_per_s": round(float(out["metrics"]["time/steps_per_s"]), 3),
+        "curve": curve,
+    }
+    art = REPO / "artifacts"
+    art.mkdir(exist_ok=True)
+    (art / "overfit_flagship.json").write_text(json.dumps(result, indent=1))
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}),
+          flush=True)
+    assert result["best_psnr"] and result["best_psnr"] > 25.0, (
+        f"flagship overfit did not reach PSNR 25: {result['best_psnr']}"
+    )
+    print("FLAGSHIP OVERFIT OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

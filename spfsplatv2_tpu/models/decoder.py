@@ -24,7 +24,13 @@ from spfsplatv2_tpu.ops.rasterizer import RasterizerConfig, RenderOutput, render
 class DecoderConfig:
     background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
     make_scale_invariant: bool = True
-    rasterizer: RasterizerConfig = field(default_factory=RasterizerConfig)
+    # Pixel-aligned gaussian clouds project ~1.6 live tile entries per
+    # gaussian; 4x leaves 2.5x headroom before whole-tile drops while
+    # keeping the compact rasterizer layout (sort/gather/scatter sizes)
+    # proportional to live entries instead of g * max_tiles_per_gaussian.
+    rasterizer: RasterizerConfig = field(
+        default_factory=lambda: RasterizerConfig(entry_budget_factor=4.0)
+    )
 
 
 @struct.dataclass

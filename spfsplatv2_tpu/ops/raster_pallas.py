@@ -173,6 +173,7 @@ def _composite_chunk(attrs, basis, valid, t_carry, chunk, ox, oy):
 
 def _forward_kernel(
     counts_ref,      # SMEM (n_tiles,) REAL entry counts
+    starts_ref,      # SMEM (n_tiles,) chunk-aligned segment starts
     attrs_hbm,       # ANY (FEAT, E_cap)
     out_ref,         # VMEM (1, PIX_PER_TILE, 8)
     scratch,         # VMEM (2, FEAT, chunk)
@@ -184,10 +185,9 @@ def _forward_kernel(
     tiles_per_cam: int,
 ):
     t = pl.program_id(0)
-    # Fixed-stride segment layout (align_bins): start is pure program-id
-    # arithmetic — prefetching a starts array would cost a ~1 KB synchronous
-    # SMEM copy per kernel launch (profiled ~1.9 ms each over the tunnel).
-    start = t * max_per_tile
+    # Segment starts are data (ragged chunk-aligned layout) or fixed-stride
+    # t * max_per_tile (padded layout) — both arrive via scalar prefetch.
+    start = starts_ref[t]
     count = counts_ref[t]
     n_ch = pl.cdiv(count, chunk)
 
@@ -256,6 +256,7 @@ def _forward_kernel(
 
 def _backward_kernel(
     counts_ref,      # SMEM (n_tiles,)
+    starts_ref,      # SMEM (n_tiles,)
     attrs_hbm,       # ANY (FEAT, E_cap)
     fwd_out_ref,     # VMEM (1, PIX_PER_TILE, 8)
     grads_ref,       # VMEM (1, PIX_PER_TILE, 8)
@@ -269,14 +270,20 @@ def _backward_kernel(
     tiles_x: int,
     max_per_tile: int,
     tiles_per_cam: int,
+    padded_capacity: bool,
 ):
     t = pl.program_id(0)
-    start = t * max_per_tile  # fixed-stride layout; see _forward_kernel
+    start = starts_ref[t]
     count = counts_ref[t]
-    # Write EVERY padded chunk of this segment (zeros where not computed);
-    # segments tile E_cap disjointly, so slots stay exclusive.
-    n_ch_pad = max_per_tile // chunk
+    # Write EVERY chunk of this segment's CAPACITY (zeros where not
+    # computed); segments are disjoint, so slots stay exclusive.  Capacity
+    # is the fixed stride for the padded layout, roundup(count, chunk) for
+    # the ragged compact layout.
     n_ch = pl.cdiv(count, chunk)
+    if padded_capacity:
+        n_ch_pad = max_per_tile // chunk
+    else:
+        n_ch_pad = n_ch
 
     px, py, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
     basis = _pixel_basis(px, py)
@@ -480,20 +487,20 @@ def align_bins(
     return ids.reshape(-1), counts
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _composite_core(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
-                    interpret, n_cam):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
+                    max_per_tile, interpret, n_cam, padded_capacity):
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x,
                                max_per_tile=max_per_tile,
                                tiles_per_cam=n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
+            (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -508,20 +515,21 @@ def _composite_core(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
             (n_cam * n_tiles, PIX_PER_TILE, 8), jnp.float32
         ),
         interpret=interpret,
-    )(counts, attrs_t)
+    )(counts, starts, attrs_t)
 
 
-def _composite_core_fwd(attrs_t, counts, num_tiles_xy, chunk, max_per_tile,
-                        interpret, n_cam):
+def _composite_core_fwd(attrs_t, counts, starts, num_tiles_xy, chunk,
+                        max_per_tile, interpret, n_cam, padded_capacity):
     out = _composite_core(
-        attrs_t, counts, num_tiles_xy, chunk, max_per_tile, interpret, n_cam
+        attrs_t, counts, starts, num_tiles_xy, chunk, max_per_tile,
+        interpret, n_cam, padded_capacity,
     )
-    return out, (attrs_t, counts, out)
+    return out, (attrs_t, counts, starts, out)
 
 
 def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
-                        residuals, g):
-    attrs_t, counts, fwd_out = residuals
+                        padded_capacity, residuals, g):
+    attrs_t, counts, starts, fwd_out = residuals
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     grads = jnp.concatenate(
@@ -530,18 +538,19 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
     )
     kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x,
                                max_per_tile=max_per_tile,
-                               tiles_per_cam=n_tiles)
+                               tiles_per_cam=n_tiles,
+                               padded_capacity=padded_capacity)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
+                (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, PIX_PER_TILE, 8), lambda t, c: (t, 0, 0),
+                (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -559,13 +568,83 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
         out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts, attrs_t, fwd_out, grads)
-    # Every chunk of every segment is written by its owning tile (zeros
-    # beyond the real count), and segments tile E_cap exactly.
-    return dattrs, None
+    )(counts, starts, attrs_t, fwd_out, grads)
+    # Every chunk of every segment's capacity is written by its owning tile
+    # (zeros beyond the real count); ragged-layout slots outside every
+    # segment (the static-bound tail) are never read back — the caller's
+    # gather VJP only touches rows its spread indices cover with zeros.
+    return dattrs, None, None
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
+def composite_pallas_compact(
+    proj: ProjectedGaussians,
+    bins,                         # raster_tiled.CompactBins
+    image_shape: tuple[int, int],
+    background: jax.Array,
+    chunk: int = 256,
+    max_per_tile: int = 4096,
+    interpret: bool | None = None,
+):
+    """Compositing over the compact ragged entry layout (default path).
+
+    vs composite_pallas: the attribute gather runs over ~live entries
+    instead of n_tiles * max_per_tile fixed-stride slots, and only the 10
+    real fields are gathered (pad rows are concatenated after).  Both the
+    gather and its scatter-add VJP are element-rate-limited ops, so slots
+    and fields shrink their cost directly.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = bins.num_tiles_xy
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert max_per_tile % chunk == 0
+    if not interpret:
+        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    packed = jnp.concatenate(
+        [
+            proj.xy,                    # 0:2
+            proj.conic,                 # 2:5
+            proj.color,                 # 5:8
+            proj.opacity[:, None],      # 8
+            depth_safe[:, None],        # 9
+        ],
+        axis=-1,
+    )                                   # (g, 10)
+
+    # Differentiable gather; the where masks dead-slot garbage forward AND
+    # zeroes the backward kernel's uninitialized dead-tail cotangents in
+    # the VJP before they reach the scatter-add.
+    rows = jnp.where(bins.slot_live[:, None], packed[bins.src], 0.0)
+    attrs_t = jnp.concatenate(
+        [rows.T, jnp.zeros((FEAT - 10, bins.e_aligned), packed.dtype)],
+        axis=0,
+    )                                   # (FEAT, e_aligned)
+
+    out = _composite_core(
+        attrs_t, bins.counts, bins.starts, (tiles_y, tiles_x), chunk,
+        max_per_tile, interpret, 1, False,
+    )  # (n_tiles, P, 8)
+
+    color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
+    depth_t = out[..., 3]
+    alpha_t = out[..., 4]
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
+        return x[:h, :w]
+
+    return (
+        untile(color_t),
+        untile(depth_t[..., None])[..., 0],
+        untile(alpha_t[..., None])[..., 0],
+    )
 
 
 def composite_pallas(
@@ -612,8 +691,11 @@ def composite_pallas(
     # layout.  Padding ids are spread across rows (see align_bins).
     attrs_t = packed[ids].T  # (FEAT, E_cap)
 
+    n_tiles = tiles_y * tiles_x
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * jnp.int32(max_per_tile)
     out = _composite_core(
-        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret, 1
+        attrs_t, counts, starts, (tiles_y, tiles_x), chunk, max_per_tile,
+        interpret, 1, True,
     )  # (n_tiles, P, 8)
 
     color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
@@ -707,9 +789,12 @@ def composite_pallas_batched(
     ids, counts = align_bins_batched(bins, chunk, max_per_tile, n_gauss)
     attrs_t = packed[ids].T             # (FEAT, cam * E_cap)
 
+    starts = jnp.arange(
+        cam * tiles_y * tiles_x, dtype=jnp.int32
+    ) * jnp.int32(max_per_tile)
     out = _composite_core(
-        attrs_t, counts, (tiles_y, tiles_x), chunk, max_per_tile, interpret,
-        cam,
+        attrs_t, counts, starts, (tiles_y, tiles_x), chunk, max_per_tile,
+        interpret, cam, True,
     )                                   # (cam * n_tiles, P, 8)
     out = out.reshape(cam, tiles_y * tiles_x, PIX_PER_TILE, 8)
 

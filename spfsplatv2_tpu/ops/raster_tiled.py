@@ -57,6 +57,36 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _cumsum_i32_blocked(x: jax.Array, block: int = 512) -> jax.Array:
+    """Inclusive int32 prefix sum via triangular MXU matmuls.
+
+    XLA's native cumsum lowering on TPU profiled ~20 ms at 2M elements
+    (reduce-window passes); reshaping to (rows, block) and contracting with
+    an upper-triangular ones matrix does the same scan as one f32 matmul
+    per level (~0.1 ms).  Exact while the total stays < 2^24 (f32 integer
+    range); the duplicate-expansion totals here are bounded by g * dup.
+    """
+    (n,) = x.shape
+    if n <= block:
+        tri = jnp.triu(jnp.ones((n, n), jnp.float32))
+        y = jax.lax.dot_general(
+            x.astype(jnp.float32)[None, :], tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        return y.astype(jnp.int32)
+    rows = _cdiv(n, block)
+    xp = jnp.pad(x, (0, rows * block - n)).reshape(rows, block)
+    tri = jnp.triu(jnp.ones((block, block), jnp.float32))
+    within = jax.lax.dot_general(
+        xp.astype(jnp.float32), tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    row_sums = within[:, -1].astype(jnp.int32)
+    incl = _cumsum_i32_blocked(row_sums, block)
+    excl = (incl - row_sums)[:, None]
+    return (within.astype(jnp.int32) + excl).reshape(-1)[:n]
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     image_shape: tuple[int, int],
@@ -137,6 +167,183 @@ def bin_gaussians(
     return TileBins(
         ids_sorted, tile_starts, (tiles_y, tiles_x), max_tiles_per_gaussian,
         order,
+    )
+
+
+class CompactBins(NamedTuple):
+    """Compact ragged per-tile entry layout for the Pallas kernels.
+
+    Entries live in chunk-aligned per-tile segments of a single flat slot
+    space of STATIC size e_aligned; segment t is [starts[t], starts[t] +
+    roundup(counts[t], chunk)) and only its first counts[t] slots are real.
+    src maps each slot to the ORIGINAL gaussian row feeding it (dead slots
+    get spread row indices whose gathered garbage the kernels mask; spread —
+    not a shared dummy row — because a mostly-same-row gather/scatter
+    serializes on one memory bank).
+
+    vs the round-1 fixed-stride layout (tile t owns t * max_per_tile
+    exactly): slots shrink from n_tiles * max_per_tile (524k for 211k live
+    entries at the bench scale) to ~live + n_tiles * chunk/2, and the
+    16-wide attribute gather + its scatter-add VJP shrink proportionally —
+    they are element-rate-limited (~1 elem/ns on v5e), not bandwidth-limited.
+    """
+
+    src: jax.Array           # (e_aligned,) original gaussian row per slot
+    slot_live: jax.Array     # (e_aligned,) bool: slot holds a real entry
+    counts: jax.Array        # (n_tiles,) real entry counts (<= max_per_tile)
+    starts: jax.Array        # (n_tiles,) chunk-aligned segment starts
+    num_tiles_xy: tuple[int, int]
+    e_aligned: int
+
+
+def bin_gaussians_compact(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int,
+    chunk: int,
+    max_per_tile: int,
+    entry_budget: int,
+) -> CompactBins:
+    """Compact-before-sort binning (non-differentiable).
+
+    The duplicate expansion still enumerates (g, dup) slots, but the live
+    ones are compacted into an entry_budget-sized buffer BEFORE the sort
+    (sort cost scales superlinearly in length: sorting 2M mostly-dead slots
+    profiled ~4x the cost of the same live set compacted to 262k).  The
+    sort key packs (tile, depth_rank) into one int32 so it stays on the
+    single-stream fast path, and ranks — not pre-permuted rows — mean no
+    16-wide depth permutation of the attribute table is ever needed.
+
+    Entries past entry_budget are dropped arbitrarily (not depth-ordered);
+    size the budget >= the live entry count (counts vs budget are cheap to
+    log via tile_starts in callers).  Per-tile counts beyond max_per_tile
+    drop the DEEPEST entries, like the fixed-stride layout.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
+    n_tiles = tiles_y * tiles_x
+
+    xy = jax.lax.stop_gradient(proj.xy)
+    depth = jax.lax.stop_gradient(proj.depth)
+    radius = proj.radius
+    g = xy.shape[0]
+
+    # Depth rank WITHOUT permuting attribute tables: rank[row] = position
+    # of `row` in front-to-back order, via inverse-permutation scatter.
+    order = jnp.argsort(depth, stable=False).astype(jnp.int32)
+    rank = jnp.zeros((g,), jnp.int32).at[order].set(
+        jnp.arange(g, dtype=jnp.int32), unique_indices=True
+    )
+
+    live_g = (radius > 0) & jnp.isfinite(depth)
+
+    r = radius.astype(xy.dtype)
+    x0 = jnp.clip(jnp.floor((xy[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    bw = jnp.where(live_g, x1 - x0, 0)
+    bh = jnp.where(live_g, y1 - y0, 0)
+    n_touched = bw * bh
+
+    d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    dy = d // bw_safe
+    dx = d % bw_safe
+    slot_ok = (d < n_touched[:, None]) & live_g[:, None]
+    tile_id = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
+
+    row_bits = max((g - 1).bit_length(), 1)
+    if row_bits + (n_tiles + 1).bit_length() > 31:
+        raise ValueError(
+            f"compact binning key overflows int32 for g={g}, "
+            f"n_tiles={n_tiles}; use the padded path"
+        )
+    sentinel_key = jnp.int32(n_tiles << row_bits)
+    key = jnp.where(
+        slot_ok, tile_id * jnp.int32(1 << row_bits) + rank[:, None],
+        sentinel_key,
+    ).reshape(-1)
+
+    # Compact: exclusive-scan positions of live slots; overflow past the
+    # budget and dead slots land out of bounds and are dropped.
+    # ONE unstable (key, row) sort compacts AND orders: dead slots carry
+    # the sentinel key and sink to the tail; the live prefix is
+    # (tile, rank)-sorted and the payload stream carries each entry's
+    # ORIGINAL gaussian row (key + one payload stays on the fast TPU sort
+    # path; recovering rows afterwards via order[key & mask] costs a
+    # full extra per-index-bound gather, profiled 2.3 ms).  XLA TPU
+    # scatters run far slower per index than sorts (a 2M-index compaction
+    # scatter profiled 11.9 ms vs this whole sort ~2.4 ms), so everything
+    # below is sorts + gathers; the only scatter is the tiny
+    # inverse-permutation rank build above.
+    rows = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_tiles_per_gaussian)
+    ).reshape(-1)
+    key_sorted, rows_sorted = jax.lax.sort(
+        (key, rows), dimension=0, num_keys=1, is_stable=False
+    )
+    bound = jnp.arange(n_tiles + 1, dtype=jnp.int32) * jnp.int32(1 << row_bits)
+    tile_starts = jnp.searchsorted(key_sorted, bound).astype(jnp.int32)
+    counts = jnp.minimum(
+        jnp.minimum(tile_starts[1:] - tile_starts[:-1], max_per_tile),
+        entry_budget,
+    )
+
+    # Chunk-aligned ragged segments: capacity_t = roundup(counts_t, chunk).
+    # The static slot space holds entry_budget entries plus per-tile
+    # alignment slack; tiles whose segment would overflow it are dropped
+    # whole (counts forced to 0) — size the budget with headroom.
+    e_aligned = (
+        _cdiv(entry_budget, chunk) * chunk + n_tiles * chunk
+    )
+    caps = ((counts + (chunk - 1)) // chunk) * chunk
+    raw_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(caps)[:-1].astype(jnp.int32)]
+    )
+    # Overflowing tiles keep their RAW start (monotone, so the chunk->tile
+    # search below stays consistent) but count 0: the kernels issue no DMA
+    # for empty tiles, so out-of-range starts are never dereferenced, and
+    # their raw slot ranges stay disjoint from every live segment.
+    fits = raw_starts + caps <= e_aligned
+    counts = jnp.where(fits, counts, 0)
+    starts = raw_starts
+
+    # src is built without scatters AND without concentrated gathers (a
+    # 327k-query gather into a 256-entry table serializes on banks —
+    # profiled ~18 ms): per-CHUNK values come from ~1k-element ops, then
+    # broadcast to slots; the only big gathers (key_sorted[p], order[rank])
+    # have well-spread indices.
+    n_chunks = e_aligned // chunk
+    chunk_to_tile = (
+        jnp.searchsorted(
+            starts, jnp.arange(n_chunks, dtype=jnp.int32) * chunk, side="right"
+        ).astype(jnp.int32) - 1
+    )
+
+    def per_slot(table_per_tile):
+        per_chunk = table_per_tile[chunk_to_tile]     # (n_chunks,) gather
+        return jnp.broadcast_to(
+            per_chunk[:, None], (n_chunks, chunk)
+        ).reshape(-1)
+
+    slot = jnp.arange(e_aligned, dtype=jnp.int32)
+    off = slot - per_slot(starts)
+    slot_live = (off >= 0) & (off < per_slot(counts))
+    # Dead slots get SPREAD positions (a clamped shared index would
+    # serialize the gather on one bank, like a shared dummy row would).
+    p = jnp.where(
+        slot_live,
+        jnp.minimum(
+            per_slot(tile_starts[:-1]) + jnp.maximum(off, 0),
+            g * max_tiles_per_gaussian - 1,
+        ),
+        slot % jnp.int32(g * max_tiles_per_gaussian),
+    )
+    spread = slot % jnp.int32(g)
+    src = jnp.where(slot_live, rows_sorted[p], spread)
+    return CompactBins(
+        src, slot_live, counts, starts, (tiles_y, tiles_x), e_aligned
     )
 
 

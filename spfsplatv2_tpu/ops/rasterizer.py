@@ -8,10 +8,13 @@ call-time argument) supported natively because the projection stage is
 plain autodiff-able XLA.
 
 Backends:
-  * "tiled"     — tile-binned XLA path (default; fast, fully differentiable)
+  * "tiled"     — tile-binned XLA path (fast, fully differentiable)
   * "reference" — dense O(pixels x gaussians) oracle (tests / tiny scenes)
-  * "pallas"    — hand-written TPU kernel (see raster_pallas), unrolled
-                  per-camera pipeline (scatters overlap across cameras)
+  * "pallas"    — hand-written TPU kernels over the COMPACT ragged entry
+                  layout (sort + gather sized by live entries, not padded
+                  slots); unrolled per-camera pipeline
+  * "pallas_padded" — round-1 fixed-stride layout (tile t owns
+                  t * max_per_tile slots); kept for comparison
   * "pallas_batched" — one flat pipeline over all cameras (slower on v5e;
                   kept for re-evaluation, see render())
 """
@@ -38,6 +41,15 @@ class RasterizerConfig:
     chunk: int = 128
     scale_invariant: bool = True
     use_sh: bool = True
+    # Compact-layout live-entry budget; None = g * max_tiles_per_gaussian
+    # (exact, never drops).  Production configs set ~2.5x the expected live
+    # entry count: tiles that overflow the budget are dropped whole, so
+    # leave headroom.  The aligned slot space + attribute gather scale
+    # with this.  entry_budget_factor expresses it relative to g (used by
+    # the model/decoder path where g depends on batch/view shapes);
+    # absolute entry_budget wins when both are set.
+    entry_budget: int | None = None
+    entry_budget_factor: float | None = None
 
 
 @struct.dataclass
@@ -70,6 +82,25 @@ def _render_one(
             max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
         )
     elif backend == "pallas":
+        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_compact
+        from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_compact
+
+        g = means.shape[0]
+        budget = cfg.entry_budget
+        if budget is None and cfg.entry_budget_factor is not None:
+            budget = int(cfg.entry_budget_factor * g)
+        if budget is None:
+            budget = g * cfg.max_tiles_per_gaussian
+        budget = -(-min(budget, g * cfg.max_tiles_per_gaussian) // 128) * 128
+        bins = bin_gaussians_compact(
+            proj, image_shape, cfg.max_tiles_per_gaussian,
+            cfg.chunk, cfg.max_per_tile, budget,
+        )
+        color, depth, alpha = composite_pallas_compact(
+            proj, bins, image_shape, background, chunk=cfg.chunk,
+            max_per_tile=cfg.max_per_tile,
+        )
+    elif backend == "pallas_padded":
         from spfsplatv2_tpu.ops.raster_pallas import composite_pallas
 
         bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)

@@ -249,9 +249,17 @@ def make_train_step(
     distiller=None,
     distiller_params=None,
 ):
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    The returned function carries a `trace_count` list whose length is the
+    number of RETRACES — the shape-stability signal for masked view
+    dropout (XLA compile counts can be distorted by the persistent
+    compilation cache, so tests assert on traces instead).
+    """
+    trace_count: list[int] = []
 
     def step_fn(state: TrainState, batch: dict):
+        trace_count.append(1)
         def loss_fn(params):
             return compute_losses(
                 encoder, params, batch, state.step, image_shape,
@@ -273,7 +281,9 @@ def make_train_step(
             metrics,
         )
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted.trace_count = trace_count
+    return jitted
 
 
 def init_train_state(encoder, optimizer, params) -> TrainState:

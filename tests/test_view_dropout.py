@@ -107,5 +107,9 @@ class TestMaskEqualsSlicing:
             }
             state, metrics = step(state, batch)
             totals.append(float(metrics["loss/total"]))
-        assert step._cache_size() == 1, step._cache_size()
+        # One TRACE across all dropout draws is the shape-stability claim;
+        # tracing is what a new (v_cxt, v_tgt) shape would trigger.
+        # (XLA compile counts can be distorted by the persistent
+        # compilation cache's AOT-load fallbacks mid-suite.)
+        assert len(step.trace_count) == 1, len(step.trace_count)
         assert all(np.isfinite(t) for t in totals)
