@@ -73,7 +73,9 @@ def main():
         radius = proj.radius
         acc = jnp.zeros((), jnp.float32)
 
-        order = jnp.argsort(depth, stable=False).astype(jnp.int32)
+        depth_bits = jax.lax.bitcast_convert_type(
+            depth.astype(jnp.float32), jnp.int32)
+        order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
         if upto == 0:
             return acc + jnp.sum(order).astype(jnp.float32)
         rank = jnp.zeros((g,), jnp.int32).at[order].set(
@@ -82,11 +84,12 @@ def main():
             return acc + jnp.sum(rank).astype(jnp.float32)
 
         live_g = (radius > 0) & jnp.isfinite(depth)
-        r = radius.astype(xy.dtype)
-        x0 = jnp.clip(jnp.floor((xy[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor((xy[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-        x1 = jnp.clip(jnp.floor((xy[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-        y1 = jnp.clip(jnp.floor((xy[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+        rx = proj.rx.astype(xy.dtype)
+        ry = proj.ry.astype(xy.dtype)
+        x0 = jnp.clip(jnp.floor((xy[:, 0] - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor((xy[:, 1] - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+        x1 = jnp.clip(jnp.floor((xy[:, 0] + rx) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((xy[:, 1] + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
         bw = jnp.where(live_g, x1 - x0, 0)
         bh = jnp.where(live_g, y1 - y0, 0)
         n_touched = bw * bh

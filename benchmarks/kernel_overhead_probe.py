@@ -67,12 +67,16 @@ def main():
     entry_budget = 2 * g
 
     for chunk in (128, 256, 512):
-        bins = jax.jit(functools.partial(
-            raster_tiled.bin_gaussians_compact,
-            image_shape=(h, w), max_tiles_per_gaussian=16, chunk=chunk,
-            max_per_tile=max_per_tile, entry_budget=entry_budget))(proj)
-        bins = jax.block_until_ready(bins)
-        e_aligned = bins.src.shape[0]
+        @jax.jit
+        def bin_fn(proj, chunk=chunk):
+            b = raster_tiled.bin_gaussians_compact(
+                proj, (h, w), 16, chunk, max_per_tile, entry_budget)
+            return b.src, b.slot_live, b.counts, b.starts
+        src, slot_live, counts, starts = jax.block_until_ready(bin_fn(proj))
+        e_aligned = src.shape[0]
+        tiles_xy = (h // 16, w // 16)
+        bins = raster_tiled.CompactBins(
+            src, slot_live, counts, starts, tiles_xy, e_aligned)
 
         depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
         packed = jnp.concatenate(

@@ -47,6 +47,11 @@ class ProjectedGaussians(NamedTuple):
     color:   (g, 3) view-dependent RGB (SH evaluated)
     opacity: (g,)
     radius:  (g,)   int32 screen radius in pixels (0 => culled)
+    rx, ry:  (g,)   int32 per-axis 3-sigma half-extents (<= radius): the
+             marginal bound power <= -dx^2 / (2 cov_xx) holds under
+             correlation, so the ellipse AABB truncates with the SAME
+             exp(-4.5) alpha bound as the circular radius while touching
+             fewer tiles for anisotropic gaussians.
     """
 
     xy: jax.Array
@@ -55,6 +60,8 @@ class ProjectedGaussians(NamedTuple):
     color: jax.Array
     opacity: jax.Array
     radius: jax.Array
+    rx: jax.Array
+    ry: jax.Array
 
 
 def project_gaussians(
@@ -134,6 +141,8 @@ def project_gaussians(
 
     valid = valid & det_valid & (radius > 0)
     radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    rx = jnp.where(valid, jnp.ceil(3.0 * jnp.sqrt(a)), 0.0).astype(jnp.int32)
+    ry = jnp.where(valid, jnp.ceil(3.0 * jnp.sqrt(c)), 0.0).astype(jnp.int32)
 
     if use_sh:
         campos = c2w[:3, 3]
@@ -153,6 +162,8 @@ def project_gaussians(
         color=color,
         opacity=opacities,
         radius=radius,
+        rx=rx,
+        ry=ry,
     )
 
 

@@ -174,6 +174,7 @@ def _composite_chunk(attrs, basis, valid, t_carry, chunk, ox, oy):
 def _forward_kernel(
     counts_ref,      # SMEM (n_tiles,) REAL entry counts
     starts_ref,      # SMEM (n_tiles,) chunk-aligned segment starts
+    basis_ref,       # VMEM (PIX_PER_TILE, 8) constant pixel basis
     attrs_hbm,       # ANY (FEAT, E_cap)
     out_ref,         # VMEM (1, PIX_PER_TILE, 8)
     scratch,         # VMEM (2, FEAT, chunk)
@@ -192,9 +193,12 @@ def _forward_kernel(
     n_ch = pl.cdiv(count, chunk)
 
     # Multi-camera grids concatenate each camera's tiles; pixel coords
-    # depend only on the within-camera tile index.
-    px, py, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
-    basis = _pixel_basis(px, py)
+    # depend only on the within-camera tile index.  The quadratic pixel
+    # basis is tile-local (translation handled via ox/oy in the qmat), so
+    # it arrives as a CONSTANT input block instead of being rebuilt from
+    # narrow (P, 1) iota pieces every grid step.
+    _, _, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
+    basis = basis_ref[...]
 
     def dma(slot, c):
         offset = pl.multiple_of(start + c * chunk, 128)
@@ -209,7 +213,7 @@ def _forward_kernel(
         dma(0, 0).start()
 
     def body(carry):
-        c, t_carry, color, depth = carry
+        c, t_carry, t_max, color, depth = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_ch)
@@ -233,19 +237,23 @@ def _forward_kernel(
         )  # (P, 8)
         color = color + contrib[:, 0:3]
         depth = depth + contrib[:, 4:5]
-        return c + 1, t_carry, color, depth
+        return c + 1, t_carry, jnp.max(t_carry), color, depth
 
     def cond(carry):
-        c, t_carry, _, _ = carry
-        return (c < n_ch) & (jnp.max(t_carry) >= T_EPS)
+        # Scalar-only condition: the vector max lives in the body (where
+        # it overlaps other work) so the loop header never pays a
+        # vector->scalar sync, and empty tiles skip it entirely.
+        c, _, t_max, _, _ = carry
+        return (c < n_ch) & (t_max >= T_EPS)
 
     init = (
         jnp.zeros((), jnp.int32),
         jnp.ones((PIX_PER_TILE, 1), jnp.float32),
+        jnp.ones((), jnp.float32),
         jnp.zeros((PIX_PER_TILE, 3), jnp.float32),
         jnp.zeros((PIX_PER_TILE, 1), jnp.float32),
     )
-    _, t_fin, color, depth = jax.lax.while_loop(cond, body, init)
+    _, t_fin, _, color, depth = jax.lax.while_loop(cond, body, init)
 
     out_ref[0, :, 0:3] = color
     out_ref[0, :, 3:4] = depth
@@ -257,6 +265,7 @@ def _forward_kernel(
 def _backward_kernel(
     counts_ref,      # SMEM (n_tiles,)
     starts_ref,      # SMEM (n_tiles,)
+    basis_ref,       # VMEM (PIX_PER_TILE, 8) constant pixel basis
     attrs_hbm,       # ANY (FEAT, E_cap)
     fwd_out_ref,     # VMEM (1, PIX_PER_TILE, 8)
     grads_ref,       # VMEM (1, PIX_PER_TILE, 8)
@@ -285,8 +294,8 @@ def _backward_kernel(
     else:
         n_ch_pad = n_ch
 
-    px, py, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
-    basis = _pixel_basis(px, py)
+    _, _, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
+    basis = basis_ref[...]
 
     g_c = grads_ref[0, :, 0:3]
     g_d = grads_ref[0, :, 3:4]
@@ -323,8 +332,14 @@ def _backward_kernel(
     def _():
         dma(0, 0).start()
 
+    gcat = jnp.concatenate(
+        [g_c, jnp.zeros_like(g_d), g_d,
+         jnp.zeros((PIX_PER_TILE, 3), jnp.float32)],
+        axis=1,
+    )  # (P, 8) matching cd rows r g b op z pad pad pad
+
     def body(carry):
-        c, t_carry, s_rem = carry
+        c, t_carry, t_max, s_rem = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_ch)
@@ -343,11 +358,6 @@ def _backward_kernel(
 
         # u_i(p) = rgb_i . gC(p) + z_i gD(p): contract the field axis.
         cd = attrs[5:13, :]
-        gcat = jnp.concatenate(
-            [g_c, jnp.zeros_like(g_d), g_d,
-             jnp.zeros((PIX_PER_TILE, 3), jnp.float32)],
-            axis=1,
-        )  # (P, 8) matching cd rows r g b op z pad pad pad
         u = jax.lax.dot_general(
             gcat, cd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -419,17 +429,18 @@ def _backward_kernel(
         write_out(c)
 
         s_rem = s_rem - jnp.sum(wu, axis=1, keepdims=True)
-        return c + 1, t_new, s_rem
+        return c + 1, t_new, jnp.max(t_new), s_rem
 
     def cond(carry):
-        c, t_carry, _ = carry
-        return (c < n_ch) & (jnp.max(t_carry) >= T_EPS)
+        # Scalar-only condition (see _forward_kernel).
+        c, _, t_max, _ = carry
+        return (c < n_ch) & (t_max >= T_EPS)
 
-    c_exit, _, _ = jax.lax.while_loop(
+    c_exit, _, _, _ = jax.lax.while_loop(
         cond,
         body,
         (jnp.zeros((), jnp.int32), jnp.ones((PIX_PER_TILE, 1), jnp.float32),
-         phi),
+         jnp.ones((), jnp.float32), phi),
     )
 
     # Chunks never visited (early exit or alignment padding) still need
@@ -498,7 +509,13 @@ def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(
+                (PIX_PER_TILE, 8), lambda t, c, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         out_specs=pl.BlockSpec(
             (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
             memory_space=pltpu.VMEM,
@@ -508,6 +525,7 @@ def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    px, py, _, _ = _pixel_grid(jnp.zeros((), jnp.int32), tiles_x)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -515,7 +533,7 @@ def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
             (n_cam * n_tiles, PIX_PER_TILE, 8), jnp.float32
         ),
         interpret=interpret,
-    )(counts, starts, attrs_t)
+    )(counts, starts, _pixel_basis(px, py), attrs_t)
 
 
 def _composite_core_fwd(attrs_t, counts, starts, num_tiles_xy, chunk,
@@ -544,6 +562,10 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
         num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
         in_specs=[
+            pl.BlockSpec(
+                (PIX_PER_TILE, 8), lambda t, c, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
@@ -562,13 +584,14 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    px, py, _, _ = _pixel_grid(jnp.zeros((), jnp.int32), tiles_x)
     dattrs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts, starts, attrs_t, fwd_out, grads)
+    )(counts, starts, _pixel_basis(px, py), attrs_t, fwd_out, grads)
     # Every chunk of every segment's capacity is written by its owning tile
     # (zeros beyond the real count); ragged-layout slots outside every
     # segment (the static-bound tail) are never read back — the caller's

@@ -230,18 +230,28 @@ def bin_gaussians_compact(
 
     # Depth rank WITHOUT permuting attribute tables: rank[row] = position
     # of `row` in front-to-back order, via inverse-permutation scatter.
-    order = jnp.argsort(depth, stable=False).astype(jnp.int32)
+    # Live depths are positive (near-cull) and dead ones are +inf, so the
+    # int32 bit pattern is order-preserving — int keys sort ~5x faster
+    # than f32 on the TPU sort path.
+    depth_bits = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.int32
+    )
+    order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
     rank = jnp.zeros((g,), jnp.int32).at[order].set(
         jnp.arange(g, dtype=jnp.int32), unique_indices=True
     )
 
     live_g = (radius > 0) & jnp.isfinite(depth)
 
-    r = radius.astype(xy.dtype)
-    x0 = jnp.clip(jnp.floor((xy[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((xy[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((xy[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((xy[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    # Ellipse AABB (see ProjectedGaussians.rx): same exp(-4.5) truncation
+    # bound as the CUDA circular getRect but fewer touched tiles for
+    # anisotropic gaussians, which shrinks the sort/gather/kernel load.
+    rx = proj.rx.astype(xy.dtype)
+    ry = proj.ry.astype(xy.dtype)
+    x0 = jnp.clip(jnp.floor((xy[:, 0] - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy[:, 1] - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy[:, 0] + rx) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy[:, 1] + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
     bw = jnp.where(live_g, x1 - x0, 0)
     bh = jnp.where(live_g, y1 - y0, 0)
     n_touched = bw * bh
