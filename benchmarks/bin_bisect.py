@@ -16,7 +16,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from spfsplatv2_tpu.ops.raster_tiled import TILE, _cdiv, _cumsum_i32_blocked
+from spfsplatv2_tpu.ops.raster_tiled import TILE, _cdiv
 
 
 def timeit(fn, *args, iters=20, warmup=2):

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from spfsplatv2_tpu.ops.attention import sdpa
 from spfsplatv2_tpu.ops.rope import rope_2d
 
 
@@ -37,10 +38,13 @@ class Mlp(nn.Module):
 
 
 def _attention(q, k, v, scale):
-    """Heads-first attention with f32 softmax: (b, h, n, d) inputs."""
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    """Heads-first attention with f32 softmax: (b, h, n, d) inputs.
+
+    Dispatches to the fused TPU flash kernel for long unmasked sequences
+    (ops/attention.py), like the reference's torch F.scaled_dot_product_
+    attention dispatch (croco/blocks.py:82-115).
+    """
+    return sdpa(q, k, v, scale)
 
 
 class SelfAttention(nn.Module):

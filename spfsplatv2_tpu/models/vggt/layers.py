@@ -6,8 +6,9 @@ layer_scale.py, mlp.py}): pre-norm blocks with optional per-head-dim QK
 LayerNorm, LayerScale residual scaling (init 0.01 in the aggregator, 1.0 in
 DINOv2), RoPE-100 on patch tokens (special tokens sit at position 0), and
 additive attention masks for the context->target block mask. The fused
-`F.scaled_dot_product_attention` (N4 in SURVEY.md) maps to a plain einsum
-softmax here — XLA fuses it on TPU at these sequence lengths.
+`F.scaled_dot_product_attention` (N4 in SURVEY.md) maps to ops/attention.py
+sdpa: the Pallas flash kernel for long unmasked (global-attention)
+sequences, a dense einsum-softmax (which XLA fuses) otherwise.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from spfsplatv2_tpu.ops.attention import sdpa
 from spfsplatv2_tpu.ops.rope import rope_2d
 
 
@@ -48,12 +50,16 @@ class VGGTAttention(nn.Module):
         if self.rope_base is not None and pos is not None:
             q = rope_2d(q, pos, self.rope_base)
             k = rope_2d(k, pos, self.rope_base)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-        logits = logits * (hd**-0.5)
-        if mask is not None:
+        if mask is None:
+            # Unmasked (VGGT global-attention) path: fused flash kernel for
+            # long sequences, dense MXU form otherwise (ops/attention.py).
+            out = sdpa(q, k, v, hd**-0.5)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            logits = logits * (hd**-0.5)
             logits = logits + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, dtype=self.compute_dtype, name="proj")(out)
 

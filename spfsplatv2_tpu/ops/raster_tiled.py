@@ -6,9 +6,14 @@ src/model/decoder/cuda_splatting.py:45-144). Design:
 
   1. Every Gaussian is expanded into up to `max_tiles_per_gaussian` (tile,
      depth-rank) entries (static cap => static shapes for XLA), mirroring the
-     CUDA duplicate-and-sort approach but with a fixed duplication budget.
+     CUDA duplicate-and-sort approach but with a fixed duplication budget and
+     ellipse-AABB tile footprints instead of the circular getRect.
   2. One `jax.lax.sort` over (tile_id, depth_rank) replaces the CUDA radix
-     sort; per-tile segments are found with searchsorted.
+     sort; per-tile segments are found with searchsorted.  The Pallas path
+     uses `bin_gaussians_compact` (chunk-aligned ragged segments sized by
+     live entries, row payloads, gathers-only slot maps — see its
+     docstring); this module's `bin_gaussians` keeps the simpler layout for
+     the pure-XLA compositor and the batched backend.
   3. Each 16x16 tile composites a fixed-size window of its front-most
      `max_per_tile` entries in chunks. Within a chunk the front-to-back
      recurrence T_{i+1} = T_i * (1 - a_i) is evaluated with a cumulative
@@ -55,36 +60,6 @@ class TileBins(NamedTuple):
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
-
-
-def _cumsum_i32_blocked(x: jax.Array, block: int = 512) -> jax.Array:
-    """Inclusive int32 prefix sum via triangular MXU matmuls.
-
-    XLA's native cumsum lowering on TPU profiled ~20 ms at 2M elements
-    (reduce-window passes); reshaping to (rows, block) and contracting with
-    an upper-triangular ones matrix does the same scan as one f32 matmul
-    per level (~0.1 ms).  Exact while the total stays < 2^24 (f32 integer
-    range); the duplicate-expansion totals here are bounded by g * dup.
-    """
-    (n,) = x.shape
-    if n <= block:
-        tri = jnp.triu(jnp.ones((n, n), jnp.float32))
-        y = jax.lax.dot_general(
-            x.astype(jnp.float32)[None, :], tri, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
-        return y.astype(jnp.int32)
-    rows = _cdiv(n, block)
-    xp = jnp.pad(x, (0, rows * block - n)).reshape(rows, block)
-    tri = jnp.triu(jnp.ones((block, block), jnp.float32))
-    within = jax.lax.dot_general(
-        xp.astype(jnp.float32), tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    row_sums = within[:, -1].astype(jnp.int32)
-    incl = _cumsum_i32_blocked(row_sums, block)
-    excl = (incl - row_sums)[:, None]
-    return (within.astype(jnp.int32) + excl).reshape(-1)[:n]
 
 
 def bin_gaussians(
