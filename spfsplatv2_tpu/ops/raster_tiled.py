@@ -157,10 +157,10 @@ class CompactBins(NamedTuple):
     serializes on one memory bank).
 
     vs the round-1 fixed-stride layout (tile t owns t * max_per_tile
-    exactly): slots shrink from n_tiles * max_per_tile (524k for 211k live
-    entries at the bench scale) to ~live + n_tiles * chunk/2, and the
-    16-wide attribute gather + its scatter-add VJP shrink proportionally —
-    they are element-rate-limited (~1 elem/ns on v5e), not bandwidth-limited.
+    exactly): slots shrink from n_tiles * max_per_tile (524k for ~200k
+    live entries at the bench scale) to ~live + alignment slack, and the
+    attribute gather + its scatter-add VJP shrink proportionally — they
+    are per-INDEX-limited (~7 ns/index on v5e), not bandwidth-limited.
     """
 
     src: jax.Array           # (e_aligned,) original gaussian row per slot
@@ -179,20 +179,20 @@ def bin_gaussians_compact(
     max_per_tile: int,
     entry_budget: int,
 ) -> CompactBins:
-    """Compact-before-sort binning (non-differentiable).
+    """Ragged compact binning for the Pallas path (non-differentiable).
 
-    The duplicate expansion still enumerates (g, dup) slots, but the live
-    ones are compacted into an entry_budget-sized buffer BEFORE the sort
-    (sort cost scales superlinearly in length: sorting 2M mostly-dead slots
-    profiled ~4x the cost of the same live set compacted to 262k).  The
-    sort key packs (tile, depth_rank) into one int32 so it stays on the
-    single-stream fast path, and ranks — not pre-permuted rows — mean no
-    16-wide depth permutation of the attribute table is ever needed.
+    One (key, row) sort over the (g, dup) duplicate expansion does both
+    compaction and ordering; slot->gaussian maps are then built from
+    broadcasts and spread gathers only (see the inline comments and
+    PERFORMANCE.md for the measured cost model that forces this shape).
+    The sort key packs (tile, depth_rank) into one int32, and ranks — not
+    pre-permuted rows — mean no 16-wide depth permutation of the
+    attribute table is ever needed.
 
-    Entries past entry_budget are dropped arbitrarily (not depth-ordered);
-    size the budget >= the live entry count (counts vs budget are cheap to
-    log via tile_starts in callers).  Per-tile counts beyond max_per_tile
-    drop the DEEPEST entries, like the fixed-stride layout.
+    entry_budget sizes the static aligned slot space: tiles whose segment
+    would overflow it are dropped WHOLE, so size it >= the live entry
+    count with headroom.  Per-tile counts beyond max_per_tile drop the
+    DEEPEST entries, like the fixed-stride layout.
     """
     h, w = image_shape
     tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
@@ -206,8 +206,7 @@ def bin_gaussians_compact(
     # Depth rank WITHOUT permuting attribute tables: rank[row] = position
     # of `row` in front-to-back order, via inverse-permutation scatter.
     # Live depths are positive (near-cull) and dead ones are +inf, so the
-    # int32 bit pattern is order-preserving — int keys sort ~5x faster
-    # than f32 on the TPU sort path.
+    # int32 bit pattern is order-preserving and the sort runs on int keys.
     depth_bits = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
     )
@@ -250,8 +249,6 @@ def bin_gaussians_compact(
         sentinel_key,
     ).reshape(-1)
 
-    # Compact: exclusive-scan positions of live slots; overflow past the
-    # budget and dead slots land out of bounds and are dropped.
     # ONE unstable (key, row) sort compacts AND orders: dead slots carry
     # the sentinel key and sink to the tail; the live prefix is
     # (tile, rank)-sorted and the payload stream carries each entry's
