@@ -616,7 +616,7 @@ def composite_pallas_compact(
     vs composite_pallas: the attribute gather runs over ~live entries
     instead of n_tiles * max_per_tile fixed-stride slots, and only the 10
     real fields are gathered (pad rows are concatenated after).  Both the
-    gather and its scatter-add VJP are element-rate-limited ops, so slots
+    gather and its scatter-add VJP are per-index-limited ops, so slots
     and fields shrink their cost directly.
     """
     h, w = image_shape
