@@ -15,7 +15,6 @@ Run (TPU, ~15-25 min incl. compile):
 from __future__ import annotations
 
 import json
-import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -26,9 +25,12 @@ def main() -> None:
     from spfsplatv2_tpu.data.synthetic import write_synthetic_dataset
     from spfsplatv2_tpu.training.loop import run_training
 
-    root = tempfile.mkdtemp(prefix="synth_flagship_")
-    write_synthetic_dataset(root, num_scenes=1, num_frames=30,
-                            image_hw=(256, 256))
+    # Stable paths so a rerun after a tunnel outage RESUMES instead of
+    # restarting (the synthetic scene is seed-deterministic).
+    root = "/tmp/synth_flagship_scene"
+    if not (Path(root) / "train").exists():
+        write_synthetic_dataset(root, num_scenes=1, num_frames=30,
+                                image_hw=(256, 256))
 
     max_steps = 1500
     cfg = load_config(None, [
@@ -46,7 +48,9 @@ def main() -> None:
         "optimizer.warm_up_steps=100",
         f"optimizer.max_steps={max_steps}",
         "image_shape=[256,256]",
-        "checkpointing.every_n_train_steps=0",
+        "checkpointing.every_n_train_steps=250",
+        "checkpointing.resume=true",
+        "output_dir=/tmp/overfit_flagship_out",
         "train.print_log_every_n_steps=25",
     ])
 
