@@ -183,6 +183,70 @@ class TestBlockParity:
         )
         np.testing.assert_allclose(np.asarray(got), expected, atol=3e-5)
 
+    def test_v1_unmasked_dual_decoder_equals_ctx_views_slicing(
+        self, ref_blocks, ref_rope
+    ):
+        """The v1 (SPFSplat) dual decoder: view 0 through dec_blocks, the
+        rest through dec_blocks2, every view cross-attending to ALL OTHER
+        views (reference AsymmetricCroCoMulti._decoder's generate_ctx_views
+        slicing, backbone_croco_multiview.py:166-207) must equal our
+        diagonal-masked MultiViewDecoderBlock pair with lo/hi splits."""
+        torch.manual_seed(5)
+        dim, heads, l, b, v = 48, 4, 8, 1, 3
+        rope = ref_rope.RoPE2D(freq=100.0)
+
+        def make_blk():
+            blk = ref_blocks.DecoderBlock(
+                dim, heads, mlp_ratio=4.0, qkv_bias=True, norm_mem=True,
+                rope=rope,
+            )
+            blk.eval()
+            return blk
+
+        blk1, blk2 = make_blk(), make_blk()
+        x = torch.randn(b, v, l, dim)
+        pos = torch.randint(0, 4, (b, v, l, 2))
+
+        def ctx(i):
+            others = [j for j in range(v) if j != i]
+            return (
+                torch.cat([x[:, j] for j in others], dim=1),
+                torch.cat([pos[:, j] for j in others], dim=1),
+            )
+
+        with torch.no_grad():
+            m0, p0 = ctx(0)
+            f1 = blk1(x[:, 0], m0, pos[:, 0], p0)[0].numpy()
+            f2 = []
+            for i in range(1, v):
+                mi, pi = ctx(i)
+                f2.append(blk2(x[:, i], mi, pos[:, i], pi)[0].numpy())
+        expected = np.stack([f1, *f2], axis=1)
+
+        from spfsplatv2_tpu.models.croco.backbone import (
+            MultiViewDecoderBlock,
+            build_cross_view_mask,
+        )
+        from spfsplatv2_tpu.utils.ckpt_convert import convert_croco_block
+
+        def jax_params(blk):
+            sd = {f"blk.{k}": v_ for k, v_ in state_dict_numpy(blk).items()}
+            return convert_croco_block(sd, "blk", cross=True)
+
+        mask = build_cross_view_mask(v, 0)  # diagonal-only blocking
+        xj = jnp.asarray(x.numpy())
+        posj = jnp.asarray(pos.numpy())
+        got0 = MultiViewDecoderBlock(
+            num_heads=heads, mlp_ratio=4.0, rope_base=100.0, lo=0, hi=1,
+            compute_dtype=jnp.float32,
+        ).apply({"params": jax_params(blk1)}, xj, posj, mask)
+        got_rest = MultiViewDecoderBlock(
+            num_heads=heads, mlp_ratio=4.0, rope_base=100.0, lo=1, hi=None,
+            compute_dtype=jnp.float32,
+        ).apply({"params": jax_params(blk2)}, xj, posj, mask)
+        got = jnp.concatenate([got0, got_rest], axis=1)
+        np.testing.assert_allclose(np.asarray(got), expected, atol=3e-5)
+
 
 class TestDPTParity:
     def test_dpt_regression_head(self):
