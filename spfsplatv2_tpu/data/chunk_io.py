@@ -78,12 +78,17 @@ def decode_poses(cameras: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return c2w, intrinsics
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> (h, w, 3) float32 in [0, 1]."""
+def decode_jpeg_u8(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w, 3) uint8 (the cheap form; convert late)."""
     from PIL import Image
 
     img = Image.open(io.BytesIO(data))
-    return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    return np.asarray(img.convert("RGB"))
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w, 3) float32 in [0, 1]."""
+    return decode_jpeg_u8(data).astype(np.float32) / 255.0
 
 
 def encode_jpeg(image: np.ndarray, quality: int = 95) -> bytes:

@@ -42,6 +42,11 @@ class DatasetConfig:
     augment: bool = True
     skip_bad_shape: bool = True
     overfit_to_scene: Optional[str] = None
+    # Parallel example assembly (JPEG decode + shims dominate; PIL releases
+    # the GIL inside libjpeg). The TPU-native replacement for the torch
+    # DataLoader's num_workers: an ordered thread-pool window, so output
+    # order stays deterministic. 0 = fully synchronous.
+    num_workers: int = 4
 
 
 def _fov_deg(intrinsics: np.ndarray) -> np.ndarray:
@@ -81,8 +86,18 @@ class ChunkedSceneDataset:
     def __iter__(self) -> Iterator[dict]:
         return self.epoch(0)
 
-    def epoch(self, epoch: int = 0, global_step: int = 0) -> Iterator[dict]:
+    def epoch(self, epoch: int = 0, global_step=0) -> Iterator[dict]:
+        """Yield processed examples.
+
+        `global_step` may be an int or a 0-arg callable; a callable is read
+        at each example submission so curriculum schedules (the view-gap
+        warmup, reference StepTracker semantics) advance WITHIN an epoch,
+        not only at epoch boundaries.
+        """
         cfg = self.cfg
+        get_step = global_step if callable(global_step) else (
+            lambda: global_step
+        )
         rng = np.random.default_rng(
             (self.seed, epoch, self.shard_id) if self.stage == "train" else 0
         )
@@ -92,20 +107,57 @@ class ChunkedSceneDataset:
         # Per-host sharding: stride chunks across shards.
         chunks = chunks[self.shard_id:: self.num_shards]
 
-        for chunk_path in chunks:
-            chunk = chunk_io.load_chunk(chunk_path)
-            if cfg.overfit_to_scene is not None:
-                matches = [x for x in chunk if x["key"] == cfg.overfit_to_scene]
-                if not matches:
-                    continue
-                chunk = matches * len(chunk)
-            if self.stage in ("train", "val"):
-                rng.shuffle(chunk)
+        def examples():
+            for chunk_path in chunks:
+                chunk = chunk_io.load_chunk(chunk_path)
+                if cfg.overfit_to_scene is not None:
+                    matches = [
+                        x for x in chunk if x["key"] == cfg.overfit_to_scene
+                    ]
+                    if not matches:
+                        continue
+                    chunk = matches * len(chunk)
+                if self.stage in ("train", "val"):
+                    rng.shuffle(chunk)
+                yield from chunk
 
-            for example in chunk:
-                out = self._process(example, rng, global_step)
+        if self.cfg.num_workers <= 0:
+            for example in examples():
+                out = self._process(example, rng, get_step())
                 if out is not None:
                     yield out
+            return
+
+        # Ordered sliding window over a thread pool: per-example child RNGs
+        # are spawned SEQUENTIALLY from the epoch rng (deterministic), the
+        # heavy work (decode/shims) runs concurrently, results come back in
+        # submission order.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = 4 * self.cfg.num_workers
+        pool = ThreadPoolExecutor(
+            self.cfg.num_workers, thread_name_prefix="dataset"
+        )
+        pending: deque = deque()
+        try:
+            for example in examples():
+                child = np.random.default_rng(rng.integers(0, 2**63))
+                pending.append(
+                    pool.submit(self._process, example, child, get_step())
+                )
+                while len(pending) >= window:
+                    out = pending.popleft().result()
+                    if out is not None:
+                        yield out
+            while pending:
+                out = pending.popleft().result()
+                if out is not None:
+                    yield out
+        finally:
+            # wait=True: letting decode threads outlive the generator
+            # aborts the interpreter at exit (PIL worker in teardown).
+            pool.shutdown(wait=True, cancel_futures=True)
 
     def _process(self, example, rng, global_step) -> Optional[dict]:
         cfg = self.cfg
@@ -125,10 +177,10 @@ class ChunkedSceneDataset:
 
         try:
             ctx_images = np.stack(
-                [chunk_io.decode_jpeg(example["images"][i]) for i in ctx_idx]
+                [chunk_io.decode_jpeg_u8(example["images"][i]) for i in ctx_idx]
             )
             tgt_images = np.stack(
-                [chunk_io.decode_jpeg(example["images"][i]) for i in tgt_idx]
+                [chunk_io.decode_jpeg_u8(example["images"][i]) for i in tgt_idx]
             )
         except (IndexError, OSError):
             return None
@@ -160,7 +212,9 @@ class ChunkedSceneDataset:
             return {
                 "extrinsics": extrinsics[indices].astype(np.float32),
                 "intrinsics": intrinsics[indices].astype(np.float32),
-                "image": images.astype(np.float32),
+                # uint8 until the crop shim's resample (which emits float
+                # [0, 1]); the augmentation flip is dtype-agnostic.
+                "image": images,
                 "near": np.full((n,), cfg.near / scale, np.float32),
                 "far": np.full((n,), cfg.far / scale, np.float32),
                 "index": indices,

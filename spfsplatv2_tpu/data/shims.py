@@ -13,11 +13,20 @@ import numpy as np
 
 
 def rescale_image(image: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
-    """LANCZOS resample (h, w, 3) float [0, 1] to `shape`."""
+    """LANCZOS resample (h, w, 3) to `shape`; returns float32 [0, 1].
+
+    Accepts float [0, 1] or uint8 [0, 255] input — the training pipeline
+    keeps decoded JPEGs in uint8 until here, skipping two full-resolution
+    float passes per image (the PIL resample quantizes to uint8 anyway,
+    exactly like the reference's Image roundtrip in crop_shim.py).
+    """
     from PIL import Image
 
     h, w = shape
-    arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    if image.dtype == np.uint8:
+        arr = image
+    else:
+        arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
     out = Image.fromarray(arr).resize((w, h), Image.LANCZOS)
     return np.asarray(out, dtype=np.float32) / 255.0
 

@@ -39,17 +39,51 @@ def batch_iterator(
     dataset: ChunkedSceneDataset,
     batch_size: int,
     get_step: Callable[[], int],
+    prefetch: int = 2,
 ) -> Iterator[dict]:
-    """Infinite collated batches; curriculum reads the live global step."""
-    epoch = 0
-    buf: list[dict] = []
+    """Infinite collated batches; curriculum reads the live global step.
+
+    Batch assembly runs in a daemon thread `prefetch` batches ahead so
+    host-side decode overlaps device compute (the reference's DataLoader
+    prefetching; its worker parallelism lives in DatasetConfig.num_workers).
+    """
+
+    def batches() -> Iterator[dict]:
+        epoch = 0
+        buf: list[dict] = []
+        while True:
+            # get_step is passed THROUGH so the view-sampler curriculum
+            # advances within an epoch.
+            for example in dataset.epoch(epoch, global_step=get_step):
+                buf.append(example)
+                if len(buf) == batch_size:
+                    yield collate(buf)
+                    buf = []
+            epoch += 1
+
+    if prefetch <= 0:
+        yield from batches()
+        return
+
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        try:
+            for batch in batches():
+                q.put(batch)
+        except BaseException as e:  # noqa: BLE001 - surface in consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True,
+                     name="batch-prefetch").start()
     while True:
-        for example in dataset.epoch(epoch, global_step=get_step()):
-            buf.append(example)
-            if len(buf) == batch_size:
-                yield collate(buf)
-                buf = []
-        epoch += 1
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def random_drop_views(batch: dict, rng: np.random.Generator, cfg) -> dict:
