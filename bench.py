@@ -95,6 +95,11 @@ def main() -> None:
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S_ESTIMATE, 3),
     }
 
+    # Print the headline IMMEDIATELY so a timeout during the (slow,
+    # compile-heavy) train bench below cannot erase it; the enriched line
+    # printed afterwards supersedes it for tail-parsers.
+    print(json.dumps(result), flush=True)
+
     # Flagship train-step numbers at the reference config (b=16, 2 ctx,
     # 1 tgt, 256^2, full 608M model, remat'd backbone): steps/s + MFU.
     # Best-effort — the headline metric above never depends on it.
@@ -107,7 +112,7 @@ def main() -> None:
             result.update(train_run(iters=5))
         except Exception as e:  # noqa: BLE001 - report, don't fail the bench
             result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
