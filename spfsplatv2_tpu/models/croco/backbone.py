@@ -41,6 +41,7 @@ from spfsplatv2_tpu.models.croco.layers import (
     PatchEmbed,
     SelfAttention,
 )
+from spfsplatv2_tpu.ops.attention import sdpa_view_masked
 from spfsplatv2_tpu.ops.rope import rope_2d
 
 
@@ -133,12 +134,12 @@ class MultiViewCrossAttention(nn.Module):
         q = rope_2d(q, qpos.reshape(b, nq * l, 2), self.rope_base)
         k = rope_2d(k, mempos.reshape(b, v * l, 2), self.rope_base)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-        logits = logits * (hd**-0.5)
-        mask = jnp.repeat(jnp.repeat(qview_mask, l, axis=0), l, axis=1)
-        logits = logits + mask[None, None]
-        probs = jax.nn.softmax(logits, axis=-1).astype(val.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, val)
+        # Dense einsum-softmax at flagship token counts; query-chunked with
+        # per-chunk mask expansion for long sequences (ops/attention.py —
+        # the masked analog of the fused-SDPA dispatch).
+        out = sdpa_view_masked(
+            q, k, val, hd**-0.5, qview_mask, l
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, l, c)
         return nn.Dense(c, dtype=self.compute_dtype, name="proj")(out)
 

@@ -77,3 +77,46 @@ def sdpa(q, k, v, scale, *, flash_min_kv: int = FLASH_MIN_KV):
     )
     out = flash_attention(qp, kp, vp, segment_ids=seg, sm_scale=scale)
     return out[:, :, :n_q].astype(v.dtype)
+
+
+def sdpa_view_masked(
+    q, k, v, scale, view_mask, tokens_per_view: int,
+    *, chunk_q: int = 512, chunked_min_kv: int = FLASH_MIN_KV,
+):
+    """View-block-masked attention over (b, h, n, d) tensors.
+
+    view_mask (vq, vk) is the ADDITIVE cross-view mask (0 / -inf at view
+    granularity, possibly built from traced values); token r belongs to
+    view r // tokens_per_view.  Below chunked_min_kv key tokens this is
+    the dense einsum-softmax.  Above it, queries are processed in chunks
+    of chunk_q with the mask expanded per chunk, so peak logits memory is
+    O(chunk_q * n_k) instead of O(n_q * n_k) — at the 10-view 512^2
+    stretch the dense form would materialize tens of GB.  Exact (softmax
+    rows are independent), differentiable through lax.map.
+    """
+    b, h, n_q, d = q.shape
+    n_k = k.shape[2]
+    l = tokens_per_view
+
+    if n_k < chunked_min_kv or n_q % chunk_q != 0:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = logits * scale
+        mask = jnp.repeat(jnp.repeat(view_mask, l, axis=0), l, axis=1)
+        logits = logits + mask[None, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    kmask = jnp.repeat(view_mask, l, axis=1)          # (vq, n_k)
+    n_ch = n_q // chunk_q
+    qc = q.reshape(b, h, n_ch, chunk_q, d).transpose(2, 0, 1, 3, 4)
+    rows = jnp.arange(n_q, dtype=jnp.int32).reshape(n_ch, chunk_q) // l
+
+    def one_chunk(args):
+        qi, rows_i = args
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qi, k).astype(jnp.float32)
+        logits = logits * scale + kmask[rows_i][None, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    out = jax.lax.map(one_chunk, (qc, rows))          # (n_ch, b, h, cq, d)
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, n_q, d)

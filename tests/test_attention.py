@@ -43,3 +43,33 @@ def test_flash_parity_on_tpu():
     np.testing.assert_allclose(
         np.asarray(gf[0]), np.asarray(gd[0]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_view_masked_chunked_matches_dense():
+    from spfsplatv2_tpu.ops.attention import sdpa_view_masked
+
+    key = jax.random.PRNGKey(1)
+    b, h, vq, vk, l, d = 1, 2, 4, 4, 16, 32
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, vq * l, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, vk * l, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, vk * l, d), jnp.float32)
+    neg = jnp.float32(-1e30)
+    view_mask = jnp.where(
+        jnp.eye(vq, vk, dtype=bool), neg, 0.0
+    )  # diagonal blocked
+
+    dense = sdpa_view_masked(q, k, v, 0.2, view_mask, l,
+                             chunked_min_kv=10**9)
+    chunked = sdpa_view_masked(q, k, v, 0.2, view_mask, l,
+                               chunk_q=16, chunked_min_kv=1)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(dense), atol=1e-6
+    )
+
+    # grads agree too
+    gd = jax.grad(lambda q: jnp.sum(sdpa_view_masked(
+        q, k, v, 0.2, view_mask, l, chunked_min_kv=10**9) ** 2))(q)
+    gc = jax.grad(lambda q: jnp.sum(sdpa_view_masked(
+        q, k, v, 0.2, view_mask, l, chunk_q=16, chunked_min_kv=1) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-5)
