@@ -59,13 +59,20 @@ class AggregatorConfig:
         return jnp.dtype(self.compute_dtype)
 
 
-def global_view_mask(v: int, p: int, num_target, dtype=jnp.float32) -> jax.Array:
-    """(v*p, v*p) additive mask: context rows cannot see target columns."""
+def global_view_mask_blocks(v: int, num_target, dtype=jnp.float32) -> jax.Array:
+    """(v, v) additive VIEW-level mask: context rows cannot see target cols."""
     idx = jnp.arange(v)
     is_target_col = idx[None, :] >= (v - num_target)
     is_context_row = idx[:, None] < (v - num_target)
     blocked = is_context_row & is_target_col
-    mask = jnp.where(blocked, jnp.asarray(-jnp.inf, dtype), jnp.asarray(0.0, dtype))
+    return jnp.where(
+        blocked, jnp.asarray(-jnp.inf, dtype), jnp.asarray(0.0, dtype)
+    )
+
+
+def global_view_mask(v: int, p: int, num_target, dtype=jnp.float32) -> jax.Array:
+    """(v*p, v*p) token-level expansion of global_view_mask_blocks."""
+    mask = global_view_mask_blocks(v, num_target, dtype)
     return jnp.repeat(jnp.repeat(mask, p, axis=0), p, axis=1)
 
 
@@ -139,7 +146,9 @@ class VGGTAggregator(nn.Module):
             jnp.tile(pos, (v, 1))[None], (b, v * p_total, 2)
         )
 
-        gmask = global_view_mask(v, p_total, num_target)[None, None]
+        # VIEW-level mask + tokens-per-view: the attention layer expands it
+        # per query chunk, never materializing the (v*p)^2 token mask.
+        gmask = (global_view_mask_blocks(v, num_target), p_total)
 
         outputs = []
         x = tokens

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spfsplatv2_tpu.ops.attention import sdpa
+from spfsplatv2_tpu.ops.attention import sdpa, sdpa_view_masked
 from spfsplatv2_tpu.ops.rope import rope_2d
 
 
@@ -51,9 +51,16 @@ class VGGTAttention(nn.Module):
             q = rope_2d(q, pos, self.rope_base)
             k = rope_2d(k, pos, self.rope_base)
         if mask is None:
-            # Unmasked (VGGT global-attention) path: fused flash kernel for
-            # long sequences, dense MXU form otherwise (ops/attention.py).
+            # Unmasked path: fused flash kernel for long sequences, dense
+            # MXU form otherwise (ops/attention.py).
             out = sdpa(q, k, v, hd**-0.5)
+        elif isinstance(mask, tuple):
+            # (view_mask (v, v), tokens_per_view): query-chunked masked
+            # attention for long sequences, dense below the threshold.
+            view_mask, tokens_per_view = mask
+            out = sdpa_view_masked(
+                q, k, v, hd**-0.5, view_mask, tokens_per_view
+            )
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
             logits = logits * (hd**-0.5)
