@@ -122,8 +122,11 @@ class ChunkedSceneDataset:
                 yield from chunk
 
         if self.cfg.num_workers <= 0:
+            # Same per-example child-RNG scheme as the parallel path so the
+            # example stream is identical for ANY worker count.
             for example in examples():
-                out = self._process(example, rng, get_step())
+                child = np.random.default_rng(rng.integers(0, 2**63))
+                out = self._process(example, child, get_step())
                 if out is not None:
                     yield out
             return

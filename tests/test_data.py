@@ -205,3 +205,47 @@ class TestDataset:
         n0 = sum(1 for _ in ds0.epoch(0))
         n1 = sum(1 for _ in ds1.epoch(0))
         assert n0 > 0 and n1 == 0
+
+
+def test_parallel_workers_do_not_change_the_stream(tmp_path):
+    """num_workers only changes throughput: the ordered window + sequential
+    child-RNG spawning must yield byte-identical examples for any count."""
+    import numpy as np
+
+    from spfsplatv2_tpu.data.synthetic import write_synthetic_dataset
+    from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset, DatasetConfig
+    from spfsplatv2_tpu.data.view_samplers import (
+        BoundedSamplerConfig,
+        BoundedViewSampler,
+    )
+
+    root = tmp_path / "ds"
+    write_synthetic_dataset(root, num_scenes=3, num_frames=30,
+                            image_hw=(96, 128))
+    sampler = BoundedViewSampler(
+        BoundedSamplerConfig(
+            min_distance_between_context_views=4,
+            max_distance_between_context_views=8,
+            warm_up_steps=0,
+        ),
+        stage="train",
+    )
+
+    def stream(workers):
+        cfg = DatasetConfig(
+            roots=(str(root),), input_image_shape=(64, 64),
+            original_image_shape=(96, 128), num_workers=workers,
+        )
+        ds = ChunkedSceneDataset(cfg, sampler, stage="train", seed=3)
+        return list(ds.epoch(0))
+
+    a, b = stream(0), (stream(4))
+    assert len(a) == len(b) > 0
+    for ea, eb in zip(a, b):
+        assert ea["scene"] == eb["scene"]
+        np.testing.assert_array_equal(
+            ea["context"]["image"], eb["context"]["image"]
+        )
+        np.testing.assert_array_equal(
+            ea["target"]["extrinsics"], eb["target"]["extrinsics"]
+        )
