@@ -103,6 +103,31 @@ def main(argv=None) -> int:
         print(json.dumps(summary, indent=2))
         return 0
 
+    if cfg.mode == "eval_pose":
+        # Pose-only evaluation: feed-forward pose error + PnP-from-pointmap
+        # baseline over the test split (reference: python -m src.eval_pose,
+        # src/eval_pose.py:46-...).
+        from spfsplatv2_tpu.config import make_sampler_from_config
+        from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset
+        from spfsplatv2_tpu.evaluation.pose_evaluator import (
+            dump_pose_eval,
+            evaluate_poses,
+        )
+        from spfsplatv2_tpu.models import get_encoder
+        from spfsplatv2_tpu.training.loop import load_checkpoint
+
+        encoder = get_encoder(cfg.encoder)
+        sampler = make_sampler_from_config(cfg, stage="test")
+        dataset = ChunkedSceneDataset(cfg.dataset, sampler, stage="test")
+        assert cfg.checkpointing.load, "mode=eval_pose requires checkpointing.load"
+        restored = load_checkpoint(cfg.checkpointing.load)
+        params = restored["params"] if "params" in restored else restored
+
+        result = evaluate_poses(encoder, params, dataset.epoch(0))
+        summary = dump_pose_eval(result, cfg.test.output_path)
+        print(json.dumps(summary, indent=2))
+        return 0
+
     raise SystemExit(f"unknown mode {cfg.mode!r}")
 
 

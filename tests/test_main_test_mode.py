@@ -96,3 +96,47 @@ class TestMainTestMode:
         sub = json.loads((out_dir / "scores_sub_avg.json").read_text())
         assert set(sub) == {"small", "medium"}
         assert all(v["num_scenes"] == 1 for v in sub.values())
+
+
+class TestMainEvalPoseMode:
+    def test_pose_eval_artifact(self, test_root, tmp_path):
+        """mode=eval_pose (the reference's `python -m src.eval_pose`):
+        feed-forward + PnP pose errors over the test split."""
+        from spfsplatv2_tpu.config import load_config
+        from spfsplatv2_tpu.main import main
+        from spfsplatv2_tpu.models import get_encoder
+        from spfsplatv2_tpu.training.loop import save_checkpoint
+
+        index = {
+            "scene_000": {"context": [0, 6], "target": [3], "overlap": 0.2},
+            "scene_001": {"context": [2, 8], "target": [5], "overlap": 0.5},
+        }
+        index_path = tmp_path / "evaluation_index.json"
+        index_path.write_text(json.dumps(index))
+        out_dir = tmp_path / "pose_out"
+
+        ov = _tiny_overrides(test_root, index_path, "UNSET", out_dir)
+        cfg = load_config(
+            None, [o for o in ov if not o.startswith("checkpointing")]
+        )
+        encoder = get_encoder(cfg.encoder)
+        rng = np.random.default_rng(0)
+        img = np.asarray(rng.uniform(0, 1, (1, 2, 32, 32, 3)), np.float32)
+        intr = np.broadcast_to(np.eye(3, dtype=np.float32), (1, 2, 3, 3))
+        params = encoder.init(
+            jax.random.PRNGKey(0), img, intr, img[:, :1], intr[:, :1]
+        )
+        ckpt_dir = tmp_path / "ckpt_pose"
+        save_checkpoint(ckpt_dir, {"params": jax.device_get(params)}, 0)
+
+        ov = [
+            o if o != "mode=test" else "mode=eval_pose"
+            for o in _tiny_overrides(
+                test_root, index_path, ckpt_dir / "step_0", out_dir
+            )
+        ]
+        rc = main(ov)
+        assert rc == 0
+        summary = json.loads((out_dir / "pose_eval.json").read_text())
+        assert "feed_forward" in summary and "pnp" in summary
+        assert np.isfinite(summary["feed_forward"]["pose_median_deg"])
