@@ -184,13 +184,22 @@ def _forward_kernel(
     tiles_x: int,
     max_per_tile: int,
     tiles_per_cam: int,
+    unaligned: bool = False,
 ):
     t = pl.program_id(0)
-    # Segment starts are data (ragged chunk-aligned layout) or fixed-stride
-    # t * max_per_tile (padded layout) — both arrive via scalar prefetch.
+    # Segment starts are data (ragged chunk-aligned layout), fixed-stride
+    # t * max_per_tile (padded layout), or ARBITRARY (prefix layout,
+    # unaligned=True) — all arrive via scalar prefetch.  The prefix layout
+    # DMAs from the 128-aligned floor and masks the head lanes.
     start = starts_ref[t]
     count = counts_ref[t]
-    n_ch = pl.cdiv(count, chunk)
+    if unaligned:
+        aligned = (start // 128) * 128
+        head = start - aligned
+    else:
+        aligned = start
+        head = jnp.int32(0)
+    n_ch = pl.cdiv(head + count, chunk)
 
     # Multi-camera grids concatenate each camera's tiles; pixel coords
     # depend only on the within-camera tile index.  The quadratic pixel
@@ -201,7 +210,7 @@ def _forward_kernel(
     basis = basis_ref[...]
 
     def dma(slot, c):
-        offset = pl.multiple_of(start + c * chunk, 128)
+        offset = pl.multiple_of(aligned + c * chunk, 128)
         return pltpu.make_async_copy(
             attrs_hbm.at[:, pl.ds(offset, chunk)],
             scratch.at[slot],
@@ -225,7 +234,7 @@ def _forward_kernel(
         entry_idx = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (1, chunk), 1
         )
-        valid = entry_idx < count
+        valid = (entry_idx >= head) & (entry_idx < head + count)
         alpha, w, _, _, t_carry = _composite_chunk(
             attrs, basis, valid, t_carry, chunk, ox, oy
         )
@@ -272,23 +281,37 @@ def _backward_kernel(
     dattrs_hbm,      # OUT ANY (FEAT, E_cap)
     scratch,         # VMEM (2, FEAT, chunk)
     dscratch,        # VMEM (FEAT, chunk)
+    rmw_scratch,     # VMEM (FEAT, chunk) existing-block buffer for merges
     sems,            # DMA sems (2,)
     outsem,          # DMA sem
+    rmw_sem,         # DMA sem
     *,
     chunk: int,
     tiles_x: int,
     max_per_tile: int,
     tiles_per_cam: int,
     padded_capacity: bool,
+    unaligned: bool = False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
+    if unaligned:
+        aligned = (start // 128) * 128
+        head = start - aligned
+    else:
+        aligned = start
+        head = jnp.int32(0)
     # Write EVERY chunk of this segment's CAPACITY (zeros where not
-    # computed); segments are disjoint, so slots stay exclusive.  Capacity
-    # is the fixed stride for the padded layout, roundup(count, chunk) for
-    # the ragged compact layout.
-    n_ch = pl.cdiv(count, chunk)
+    # computed); aligned-layout segments are disjoint, so slots stay
+    # exclusive.  Capacity is the fixed stride for the padded layout,
+    # roundup(count, chunk) for the ragged layouts.  The UNALIGNED prefix
+    # layout shares its boundary 128-lane blocks with neighbouring tiles:
+    # the first chunk (when head > 0) read-modify-writes, merging computed
+    # values into the block the PREVIOUS tile already wrote (TPU grid
+    # steps run sequentially on one core, so the ordering is guaranteed),
+    # and tail lanes are written zero for the NEXT tile to merge over.
+    n_ch = pl.cdiv(head + count, chunk)
     if padded_capacity:
         n_ch_pad = max_per_tile // chunk
     else:
@@ -311,7 +334,7 @@ def _backward_kernel(
     )
 
     def dma(slot, c):
-        offset = pl.multiple_of(start + c * chunk, 128)
+        offset = pl.multiple_of(aligned + c * chunk, 128)
         return pltpu.make_async_copy(
             attrs_hbm.at[:, pl.ds(offset, chunk)],
             scratch.at[slot],
@@ -319,14 +342,46 @@ def _backward_kernel(
         )
 
     def write_out(c):
-        offset = pl.multiple_of(start + c * chunk, 128)
-        out_dma = pltpu.make_async_copy(
-            dscratch,
-            dattrs_hbm.at[:, pl.ds(offset, chunk)],
-            outsem,
-        )
-        out_dma.start()
-        out_dma.wait()
+        offset = pl.multiple_of(aligned + c * chunk, 128)
+        is_merge = jnp.zeros((), jnp.bool_)
+        if unaligned:
+            # Boundary merge: the first chunk's pre-head lanes hold the
+            # previous tiles' already-written gradients — preserve them
+            # (the merge goes through rmw_scratch so dscratch is never
+            # mutated: the zero-fill loop reuses it across chunks).
+            is_merge = (c == 0) & (head > 0)
+
+            @pl.when(is_merge)
+            def _():
+                rd = pltpu.make_async_copy(
+                    dattrs_hbm.at[:, pl.ds(offset, chunk)],
+                    rmw_scratch,
+                    rmw_sem,
+                )
+                rd.start()
+                rd.wait()
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                win = (lane >= head) & (lane < head + count)
+                rmw_scratch[:, :] = jnp.where(
+                    win, dscratch[:, :], rmw_scratch[:, :]
+                )
+                out_dma = pltpu.make_async_copy(
+                    rmw_scratch,
+                    dattrs_hbm.at[:, pl.ds(offset, chunk)],
+                    outsem,
+                )
+                out_dma.start()
+                out_dma.wait()
+
+        @pl.when(jnp.logical_not(is_merge))
+        def _():
+            out_dma = pltpu.make_async_copy(
+                dscratch,
+                dattrs_hbm.at[:, pl.ds(offset, chunk)],
+                outsem,
+            )
+            out_dma.start()
+            out_dma.wait()
 
     @pl.when(n_ch > 0)
     def _():
@@ -351,7 +406,7 @@ def _backward_kernel(
         entry_idx = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (1, chunk), 1
         )
-        valid = entry_idx < count
+        valid = (entry_idx >= head) & (entry_idx < head + count)
         alpha, w, t_excl, composited, t_new = _composite_chunk(
             attrs, basis, valid, t_carry, chunk, ox, oy
         )
@@ -498,14 +553,13 @@ def align_bins(
     return ids.reshape(-1), counts
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
-                    max_per_tile, interpret, n_cam, padded_capacity):
+def _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
+              max_per_tile, interpret, n_cam, unaligned=False):
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     kernel = functools.partial(_forward_kernel, chunk=chunk, tiles_x=tiles_x,
                                max_per_tile=max_per_tile,
-                               tiles_per_cam=n_tiles)
+                               tiles_per_cam=n_tiles, unaligned=unaligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
@@ -536,18 +590,9 @@ def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
     )(counts, starts, _pixel_basis(px, py), attrs_t)
 
 
-def _composite_core_fwd(attrs_t, counts, starts, num_tiles_xy, chunk,
-                        max_per_tile, interpret, n_cam, padded_capacity):
-    out = _composite_core(
-        attrs_t, counts, starts, num_tiles_xy, chunk, max_per_tile,
-        interpret, n_cam, padded_capacity,
-    )
-    return out, (attrs_t, counts, starts, out)
-
-
-def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
-                        padded_capacity, residuals, g):
-    attrs_t, counts, starts, fwd_out = residuals
+def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
+              max_per_tile, interpret, n_cam, padded_capacity,
+              unaligned=False):
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     grads = jnp.concatenate(
@@ -557,7 +602,8 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
     kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x,
                                max_per_tile=max_per_tile,
                                tiles_per_cam=n_tiles,
-                               padded_capacity=padded_capacity)
+                               padded_capacity=padded_capacity,
+                               unaligned=unaligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_cam * n_tiles,),
@@ -580,18 +626,44 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, chunk), jnp.float32),
             pltpu.VMEM((FEAT, chunk), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     px, py, _, _ = _pixel_grid(jnp.zeros((), jnp.int32), tiles_x)
-    dattrs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(counts, starts, _pixel_basis(px, py), attrs_t, fwd_out, grads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
+                    max_per_tile, interpret, n_cam, padded_capacity):
+    return _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
+                     max_per_tile, interpret, n_cam)
+
+
+def _composite_core_fwd(attrs_t, counts, starts, num_tiles_xy, chunk,
+                        max_per_tile, interpret, n_cam, padded_capacity):
+    out = _composite_core(
+        attrs_t, counts, starts, num_tiles_xy, chunk, max_per_tile,
+        interpret, n_cam, padded_capacity,
+    )
+    return out, (attrs_t, counts, starts, out)
+
+
+def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
+                        padded_capacity, residuals, g):
+    attrs_t, counts, starts, fwd_out = residuals
+    dattrs = _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy,
+                       chunk, max_per_tile, interpret, n_cam,
+                       padded_capacity)
     # Every chunk of every segment's capacity is written by its owning tile
     # (zeros beyond the real count); ragged-layout slots outside every
     # segment (the static-bound tail) are never read back — the caller's
@@ -600,6 +672,123 @@ def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
+NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _prefix_core(packed, flat_p, src, counts, starts, n_live,
+                 num_tiles_xy, chunk, interpret, dup):
+    """Gather + composite over the prefix entry layout (see PrefixBins).
+
+    The gather lives INSIDE this custom-VJP boundary so the backward pass
+    accumulates per-entry gradients with a unique-index scatter-SET into
+    the (g * dup) flat expansion space followed by a dense reshape-sum —
+    never XLA's duplicate-index scatter-add (the gather VJP), which is the
+    single most expensive op of the aligned layouts' backward glue.
+    """
+    e_pad = flat_p.shape[0]
+    rows = packed[src]                                  # (e_pad, NUM_FIELDS)
+    attrs_t = jnp.concatenate(
+        [rows.T, jnp.zeros((FEAT - NUM_FIELDS, e_pad), packed.dtype)], axis=0
+    )
+    return _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
+                     e_pad, interpret, 1, unaligned=True)
+
+
+def _prefix_core_fwd(packed, flat_p, src, counts, starts, n_live,
+                     num_tiles_xy, chunk, interpret, dup):
+    e_pad = flat_p.shape[0]
+    rows = packed[src]
+    attrs_t = jnp.concatenate(
+        [rows.T, jnp.zeros((FEAT - NUM_FIELDS, e_pad), packed.dtype)], axis=0
+    )
+    out = _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
+                    e_pad, interpret, 1, unaligned=True)
+    return out, (packed, flat_p, attrs_t, counts, starts, n_live, out)
+
+
+def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, residuals, g):
+    packed, flat_p, attrs_t, counts, starts, n_live, fwd_out = residuals
+    n_gauss = packed.shape[0]
+    e_pad = flat_p.shape[0]
+    dattrs_t = _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy,
+                         chunk, e_pad, interpret, 1,
+                         padded_capacity=False, unaligned=True)
+    drows = dattrs_t[:NUM_FIELDS, :].T                  # (e_pad, NUM_FIELDS)
+    # Windows tile [0, n_live) contiguously, so backward validity is ONE
+    # suffix mask (slots past n_live were never written — garbage).
+    live = (jnp.arange(e_pad, dtype=jnp.int32) < n_live)[:, None]
+    drows = jnp.where(live, drows, 0.0)
+    # Unique-index scatter-SET into the flat (g, dup) expansion space +
+    # dense sum over the dup axis.  flat_p is a permutation fragment
+    # (globally unique), so no accumulation ever happens inside the
+    # scatter — it stays on the cheap per-index path.
+    dflat = jnp.zeros((n_gauss * dup, NUM_FIELDS), drows.dtype)
+    dflat = dflat.at[flat_p].set(drows, unique_indices=True, mode="drop")
+    dpacked = dflat.reshape(n_gauss, dup, NUM_FIELDS).sum(axis=1)
+    return dpacked, None, None, None, None, None
+
+
+_prefix_core.defvjp(_prefix_core_fwd, _prefix_core_bwd)
+
+
+def composite_pallas_prefix(
+    proj: ProjectedGaussians,
+    bins,                         # raster_tiled.PrefixBins
+    image_shape: tuple[int, int],
+    background: jax.Array,
+    chunk: int = 256,
+    interpret: bool | None = None,
+):
+    """Compositing over the prefix entry layout (fastest path).
+
+    vs composite_pallas_compact: no slot re-packing stage (the sort's live
+    prefix is the slot space; kernels mask unaligned heads), ~25% fewer
+    gather/scatter indices (no per-tile alignment slack), and the backward
+    accumulation is scatter-set + dense sum instead of scatter-add.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = bins.num_tiles_xy
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    xy_safe = jnp.where(jnp.isfinite(proj.xy), proj.xy, 0.0)
+    packed = jnp.concatenate(
+        [
+            xy_safe,                    # 0:2
+            proj.conic,                 # 2:5
+            proj.color,                 # 5:8
+            proj.opacity[:, None],      # 8
+            depth_safe[:, None],        # 9
+        ],
+        axis=-1,
+    )                                   # (g, NUM_FIELDS)
+
+    out = _prefix_core(
+        packed, bins.flat, bins.src, bins.counts, bins.starts, bins.n_live,
+        (tiles_y, tiles_x), chunk, interpret, bins.dup,
+    )  # (n_tiles, P, 8)
+
+    color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
+    depth_t = out[..., 3]
+    alpha_t = out[..., 4]
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
+        return x[:h, :w]
+
+    return (
+        untile(color_t),
+        untile(depth_t[..., None])[..., 0],
+        untile(alpha_t[..., None])[..., 0],
+    )
 
 
 def composite_pallas_compact(

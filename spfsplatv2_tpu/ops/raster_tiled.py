@@ -329,6 +329,139 @@ def bin_gaussians_compact(
     )
 
 
+class PrefixBins(NamedTuple):
+    """Prefix entry layout: sorted live entries ARE the slot space.
+
+    vs CompactBins: no chunk-aligned re-packing pass at all.  The binning
+    sort's live prefix (entries sorted by (tile, depth-rank), dead slots
+    sunk to the tail behind a sentinel key) is used directly; tile t's
+    segment is [starts[t], starts[t] + counts[t]) at ARBITRARY offsets and
+    the Pallas kernels handle the unaligned heads (they DMA from the
+    128-aligned floor and mask the head lanes).  This deletes the
+    slot->sorted-position gather (~2.3 ms/camera) and the ~25% alignment
+    slack in every per-index pass (gather + backward scatter).
+
+    Windows tile [0, n_live) contiguously (no per-tile entry cap — only the
+    global budget clamps, dropping the DEEPEST entries of boundary tiles),
+    so backward validity is one suffix mask `slot < n_live` instead of a
+    per-slot liveness stream.
+
+    flat: (e_pad,) flat expansion slot (row * dup + d) per sorted slot —
+          unique across live AND dead slots, so the backward accumulation
+          is a unique-index scatter-SET into (g * dup, C) + a dense
+          reshape-sum, never a duplicate-index scatter-add.
+    src:  (e_pad,) = flat // dup, the gaussian row feeding each slot.
+    """
+
+    flat: jax.Array          # (e_pad,)
+    src: jax.Array           # (e_pad,)
+    counts: jax.Array        # (n_tiles,)
+    starts: jax.Array        # (n_tiles,) raw (unaligned) segment starts
+    n_live: jax.Array        # () int32: live slots (suffix mask bound)
+    num_tiles_xy: tuple[int, int]
+    e_pad: int
+    dup: int
+
+
+def bin_gaussians_prefix(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int,
+    chunk: int,
+    entry_budget: int,
+) -> PrefixBins:
+    """Prefix-layout binning (non-differentiable).  See PrefixBins.
+
+    Same duplicate expansion + single (key, payload) unstable sort as
+    bin_gaussians_compact, but the payload is the flat expansion slot and
+    the sorted order is used as-is — no slot re-packing stage.
+    entry_budget bounds the live slots kept; entries past it (the deepest
+    of the back tiles) are dropped.
+    """
+    h, w = image_shape
+    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
+    n_tiles = tiles_y * tiles_x
+
+    xy = jax.lax.stop_gradient(proj.xy)
+    depth = jax.lax.stop_gradient(proj.depth)
+    radius = proj.radius
+    g = xy.shape[0]
+    dup = max_tiles_per_gaussian
+    assert dup & (dup - 1) == 0, "max_tiles_per_gaussian must be a power of 2"
+
+    # Depth rank without permuting attribute tables (see
+    # bin_gaussians_compact): order-preserving int32 bitcast of positive
+    # depths, inverse-permutation scatter.
+    depth_bits = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.int32
+    )
+    order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
+    rank = jnp.zeros((g,), jnp.int32).at[order].set(
+        jnp.arange(g, dtype=jnp.int32), unique_indices=True
+    )
+
+    live_g = (radius > 0) & jnp.isfinite(depth)
+
+    rx = proj.rx.astype(xy.dtype)
+    ry = proj.ry.astype(xy.dtype)
+    x0 = jnp.clip(jnp.floor((xy[:, 0] - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy[:, 1] - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy[:, 0] + rx) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy[:, 1] + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    bw = jnp.where(live_g, x1 - x0, 0)
+    bh = jnp.where(live_g, y1 - y0, 0)
+    n_touched = bw * bh
+
+    d = jnp.arange(dup, dtype=jnp.int32)[None, :]
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    dy = d // bw_safe
+    dx = d % bw_safe
+    slot_ok = (d < n_touched[:, None]) & live_g[:, None]
+    tile_id = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
+
+    row_bits = max((g - 1).bit_length(), 1)
+    if row_bits + (n_tiles + 1).bit_length() > 31:
+        raise ValueError(
+            f"prefix binning key overflows int32 for g={g}, "
+            f"n_tiles={n_tiles}; use the padded path"
+        )
+    sentinel_key = jnp.int32(n_tiles << row_bits)
+    key = jnp.where(
+        slot_ok, tile_id * jnp.int32(1 << row_bits) + rank[:, None],
+        sentinel_key,
+    ).reshape(-1)
+
+    # Payload = flat expansion slot (row-major over (g, dup)): recovers both
+    # the gaussian row (flat // dup) and a globally UNIQUE backward scatter
+    # position per slot.  Single payload keeps the fast TPU sort path.
+    flat_all = jnp.arange(g * dup, dtype=jnp.int32)
+    key_sorted, flat_sorted = jax.lax.sort(
+        (key, flat_all), dimension=0, num_keys=1, is_stable=False
+    )
+    bound = jnp.arange(n_tiles + 1, dtype=jnp.int32) * jnp.int32(1 << row_bits)
+    tile_starts = jnp.searchsorted(key_sorted, bound).astype(jnp.int32)
+
+    budget = min(entry_budget, g * dup)
+    e_pad = _cdiv(budget, chunk) * chunk + chunk  # kernel read overrun room
+    starts = tile_starts[:-1]
+    diff = tile_starts[1:] - tile_starts[:-1]
+    # No per-tile cap: windows tile [0, n_live) contiguously.  The global
+    # budget clamps boundary tiles (dropping their deepest entries).
+    counts = jnp.clip(jnp.minimum(diff, jnp.int32(budget) - starts), 0)
+    n_live = jnp.minimum(tile_starts[-1], jnp.int32(budget))
+
+    if e_pad <= g * dup:
+        flat_p = flat_sorted[:e_pad]
+    else:
+        flat_p = jnp.concatenate(
+            [flat_sorted, jnp.zeros((e_pad - g * dup,), jnp.int32)]
+        )
+    src = flat_p // jnp.int32(dup)
+    return PrefixBins(
+        flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup
+    )
+
+
 class BatchedTileBins(NamedTuple):
     """Multi-camera tile bins over the combined (cam * n_tiles) tile space.
 

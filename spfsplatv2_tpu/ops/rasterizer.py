@@ -82,6 +82,23 @@ def _render_one(
             max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
         )
     elif backend == "pallas":
+        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_prefix
+        from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_prefix
+
+        g = means.shape[0]
+        budget = cfg.entry_budget
+        if budget is None and cfg.entry_budget_factor is not None:
+            budget = int(cfg.entry_budget_factor * g)
+        if budget is None:
+            budget = g * cfg.max_tiles_per_gaussian
+        budget = -(-min(budget, g * cfg.max_tiles_per_gaussian) // 128) * 128
+        bins = bin_gaussians_prefix(
+            proj, image_shape, cfg.max_tiles_per_gaussian, cfg.chunk, budget,
+        )
+        color, depth, alpha = composite_pallas_prefix(
+            proj, bins, image_shape, background, chunk=cfg.chunk,
+        )
+    elif backend == "pallas_compact":
         from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_compact
         from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_compact
 
