@@ -387,7 +387,6 @@ def bin_gaussians_prefix(
     radius = proj.radius
     g = xy.shape[0]
     dup = max_tiles_per_gaussian
-    assert dup & (dup - 1) == 0, "max_tiles_per_gaussian must be a power of 2"
 
     # Depth rank without permuting attribute tables (see
     # bin_gaussians_compact): order-preserving int32 bitcast of positive
