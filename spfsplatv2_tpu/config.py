@@ -61,6 +61,11 @@ class TrainFlags:
     distiller_weights: Optional[str] = None
     distill_max_steps: int = 0
     print_log_every_n_steps: int = 100
+    # Keyword parameter freezing for fine-tuning recipes (reference
+    # model_wrapper.py:83-85,178-184; optim.FreezeConfig for semantics).
+    freeze_pretrained: bool = False
+    freeze_backbone: bool = False
+    freeze_pose_head: bool = False
 
 
 @dataclass(frozen=True)

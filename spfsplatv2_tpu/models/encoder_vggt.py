@@ -62,7 +62,16 @@ class SPFSplatV2LEncoder(nn.Module):
         target_images: Optional[jax.Array] = None,
         target_intrinsics: Optional[jax.Array] = None,
         global_step: jax.Array | int = 0,
+        context_valid: Optional[jax.Array] = None,  # (v_cxt,)
+        target_valid: Optional[jax.Array] = None,   # (v_tgt,)
     ) -> dict:
+        """`context_valid`/`target_valid` implement random view dropout with
+        STATIC shapes, mirroring the CroCo-path encoder (the reference
+        slices the batch instead, model_wrapper.py:91-116, which would
+        recompile the 1.3B-param step per draw; the 10-view v2-l checkpoint
+        is trained with random context dropout, reference README.md:78-86):
+        dropped views vanish from the global attention and contribute
+        zero-opacity Gaussians."""
         cfg = self.cfg
         b, v_cxt, h, w, _ = context_images.shape
         v_tgt = 0 if target_images is None else target_images.shape[1]
@@ -75,8 +84,16 @@ class SPFSplatV2LEncoder(nn.Module):
                 [context_intrinsics, target_intrinsics], axis=1
             )
 
+        view_valid = None
+        if context_valid is not None or target_valid is not None:
+            cv = (jnp.ones((v_cxt,)) if context_valid is None
+                  else context_valid.astype(jnp.float32))
+            tv = (jnp.ones((v_tgt,)) if target_valid is None
+                  else target_valid.astype(jnp.float32))
+            view_valid = jnp.concatenate([cv, tv]) if v_tgt else cv
+
         agg = VGGTAggregator(cfg.aggregator, name="aggregator")(
-            images, intrinsics, num_target=v_tgt
+            images, intrinsics, num_target=v_tgt, view_valid=view_valid
         )
         tokens, patch_start, grid = agg["tokens"], agg["patch_start"], agg["grid"]
 
@@ -84,7 +101,7 @@ class SPFSplatV2LEncoder(nn.Module):
         if cfg.estimating_pose:
             camera_tokens = tokens[-1][:, :, 0]  # (b, v, 2C) camera token
             pose_enc = CameraHead(cfg.camera_head, name="camera_head")(
-                camera_tokens
+                camera_tokens, view_valid=view_valid
             )
             w2c = pose_encoding_to_w2c(pose_enc)  # (b, v, 4, 4)
             poses = se3.inverse_se3(w2c)  # closed_form_inverse_se3 -> c2w
@@ -111,6 +128,11 @@ class SPFSplatV2LEncoder(nn.Module):
             cfg.opacity_mapping.initial, cfg.opacity_mapping.final,
             cfg.opacity_mapping.warm_up,
         )
+        if context_valid is not None:
+            # Dropped context views contribute nothing to the render.
+            opacities = opacities * context_valid.astype(opacities.dtype)[
+                None, :, None, None
+            ]
         gaussians = unified_gaussian_adapter(
             pts3d.reshape(b, v_cxt, h * w, 3),
             opacities.reshape(b, v_cxt, h * w),

@@ -59,12 +59,23 @@ class AggregatorConfig:
         return jnp.dtype(self.compute_dtype)
 
 
-def global_view_mask_blocks(v: int, num_target, dtype=jnp.float32) -> jax.Array:
-    """(v, v) additive VIEW-level mask: context rows cannot see target cols."""
+def global_view_mask_blocks(
+    v: int, num_target, view_valid=None, dtype=jnp.float32
+) -> jax.Array:
+    """(v, v) additive VIEW-level mask: context rows cannot see target cols.
+
+    `view_valid` ((v,) bool/float, optional) marks randomly DROPPED views
+    (static-shape view dropout, mirroring the CroCo path): an invalid
+    view's column is blocked for every row, so its tokens vanish from the
+    global attention exactly as if the view had been sliced out
+    (reference drops by slicing, model_wrapper.py:91-116; mask fork
+    aggregator.py:289-369)."""
     idx = jnp.arange(v)
     is_target_col = idx[None, :] >= (v - num_target)
     is_context_row = idx[:, None] < (v - num_target)
     blocked = is_context_row & is_target_col
+    if view_valid is not None:
+        blocked = blocked | (~view_valid.astype(bool))[None, :]
     return jnp.where(
         blocked, jnp.asarray(-jnp.inf, dtype), jnp.asarray(0.0, dtype)
     )
@@ -72,7 +83,7 @@ def global_view_mask_blocks(v: int, num_target, dtype=jnp.float32) -> jax.Array:
 
 def global_view_mask(v: int, p: int, num_target, dtype=jnp.float32) -> jax.Array:
     """(v*p, v*p) token-level expansion of global_view_mask_blocks."""
-    mask = global_view_mask_blocks(v, num_target, dtype)
+    mask = global_view_mask_blocks(v, num_target, dtype=dtype)
     return jnp.repeat(jnp.repeat(mask, p, axis=0), p, axis=1)
 
 
@@ -80,9 +91,12 @@ class VGGTAggregator(nn.Module):
     cfg: AggregatorConfig = field(default_factory=AggregatorConfig)
 
     @nn.compact
-    def __call__(self, images, intrinsics=None, num_target=0):
+    def __call__(self, images, intrinsics=None, num_target=0, view_valid=None):
         """
         images: (b, v, h, w, 3) in [0, 1]; intrinsics (b, v, 3, 3) normalized.
+        view_valid: (v,) optional bool/float; invalid (randomly dropped)
+        views are removed from the global attention (see
+        global_view_mask_blocks).
         Returns dict:
           tokens:  list of `depth` maps (b, v, p_total, 2C) concat(frame, global)
           patch_start: index of the first patch token
@@ -148,7 +162,7 @@ class VGGTAggregator(nn.Module):
 
         # VIEW-level mask + tokens-per-view: the attention layer expands it
         # per query chunk, never materializing the (v*p)^2 token mask.
-        gmask = (global_view_mask_blocks(v, num_target), p_total)
+        gmask = (global_view_mask_blocks(v, num_target, view_valid), p_total)
 
         outputs = []
         x = tokens

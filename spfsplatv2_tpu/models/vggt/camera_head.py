@@ -36,10 +36,24 @@ class CameraHead(nn.Module):
     cfg: CameraHeadConfig = CameraHeadConfig()
 
     @nn.compact
-    def __call__(self, camera_tokens: jax.Array) -> jax.Array:
-        """camera_tokens (b, v, c) -> final activated pose encoding (b, v, 9)."""
+    def __call__(
+        self, camera_tokens: jax.Array, view_valid: jax.Array | None = None
+    ) -> jax.Array:
+        """camera_tokens (b, v, c) -> final activated pose encoding (b, v, 9).
+
+        The trunk attends ACROSS views' camera tokens, so static-shape view
+        dropout must mask dropped views here too: `view_valid` ((v,)
+        bool/float, optional) blocks an invalid view's token as an
+        attention KEY for every query, making the refinement equivalent to
+        slicing the view out (the reference drops by slicing the batch
+        before the encoder, model_wrapper.py:91-116)."""
         cfg = self.cfg
         b, v, c = camera_tokens.shape
+        attn_mask = None
+        if view_valid is not None:
+            attn_mask = jnp.where(
+                view_valid.astype(bool)[None, :], 0.0, -jnp.inf
+            ) * jnp.ones((v, 1))
         tokens = nn.LayerNorm(dtype=jnp.float32, name="token_norm")(camera_tokens)
 
         empty_pose = self.param(
@@ -76,7 +90,7 @@ class CameraHead(nn.Module):
             x = gate * (adaln_norm(tokens) * (1 + scale) + shift)
             x = x + tokens
             for blk in trunk:
-                x = blk(x)
+                x = blk(x, mask=attn_mask)
             delta = branch_fc2(nn.gelu(branch_fc1(trunk_norm(x)), approximate=False))
             pred = delta if pred is None else pred + delta
 

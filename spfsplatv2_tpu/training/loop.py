@@ -28,7 +28,7 @@ from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset, collate
 from spfsplatv2_tpu.data.view_samplers import BoundedViewSampler
 from spfsplatv2_tpu.models import get_encoder
 from spfsplatv2_tpu.parallel import make_mesh, replicate, shard_batch
-from spfsplatv2_tpu.training.optim import make_optimizer
+from spfsplatv2_tpu.training.optim import FreezeConfig, make_optimizer
 from spfsplatv2_tpu.training.step import (
     init_train_state,
     make_train_step,
@@ -200,7 +200,14 @@ def run_training(
             tuple(cfg.image_shape),
         )
 
-    optimizer = make_optimizer(cfg.optimizer, params)
+    optimizer = make_optimizer(
+        cfg.optimizer, params,
+        freeze=FreezeConfig(
+            freeze_pretrained=cfg.train.freeze_pretrained,
+            freeze_backbone=cfg.train.freeze_backbone,
+            freeze_pose_head=cfg.train.freeze_pose_head,
+        ),
+    )
     step_kwargs = dict(
         lpips_params=lpips_params,
         training_context=cfg.train.training_context,

@@ -45,12 +45,53 @@ NEW_PARAM_KEYWORDS = (
     "camera_head",
 )
 
+# Keyword freezing (reference model_wrapper.py:83-85,178-184,1050-1065):
+# freeze_pretrained keeps ONLY these heads trainable.
+FREEZE_UNFREEZE_KEYWORDS = ("gaussian_param_head", "pose_head", "intrinsic_encoder")
 
-def _param_labels(params) -> dict:
-    """'new' for freshly-initialized heads, 'pretrained' for the rest."""
+
+@dataclass(frozen=True)
+class FreezeConfig:
+    """Keyword parameter freezing for fine-tuning recipes.
+
+    Mirrors the reference's sequential `freeze_params` calls
+    (model_wrapper.py:178-184): freeze_backbone first, then
+    freeze_pretrained (which REWRITES every flag: trainable iff the name
+    contains an unfreeze keyword), then freeze_pose_head — so effective
+    precedence is pose_head > pretrained > backbone.
+    """
+
+    freeze_pretrained: bool = False
+    freeze_backbone: bool = False
+    freeze_pose_head: bool = False
+
+    @property
+    def any(self) -> bool:
+        return (
+            self.freeze_pretrained or self.freeze_backbone
+            or self.freeze_pose_head
+        )
+
+    def is_frozen(self, path_str: str) -> bool:
+        if self.freeze_pose_head and "pose_head" in path_str:
+            return True
+        if self.freeze_pretrained:
+            return not any(k in path_str for k in FREEZE_UNFREEZE_KEYWORDS)
+        return self.freeze_backbone and "backbone" in path_str
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def _param_labels(params, freeze: FreezeConfig = FreezeConfig()) -> dict:
+    """'frozen' per FreezeConfig; else 'new' for freshly-initialized heads,
+    'pretrained' for the rest."""
 
     def label(path):
-        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        path_str = _path_str(path)
+        if freeze.is_frozen(path_str):
+            return "frozen"
         return "new" if any(k in path_str for k in NEW_PARAM_KEYWORDS) else "pretrained"
 
     return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
@@ -63,9 +104,14 @@ class SkipState(NamedTuple):
 
 
 def skip_bad_gradients(
-    inner: optax.GradientTransformation, max_abs: float
+    inner: optax.GradientTransformation, max_abs: float, frozen_mask=None
 ) -> optax.GradientTransformation:
-    """Zero the update (and keep inner state unchanged) on NaN/huge grads."""
+    """Zero the update (and keep inner state unchanged) on NaN/huge grads.
+
+    `frozen_mask` (bool pytree, optional) zeroes frozen subtrees' gradients
+    BEFORE the NaN/large-grad check (and before the inner clip), so frozen
+    params influence neither — matching the reference, where frozen params
+    produce no gradients at all (requires_grad=False)."""
 
     def init_fn(params):
         return SkipState(
@@ -73,6 +119,11 @@ def skip_bad_gradients(
         )
 
     def update_fn(updates, state, params=None, **kw):
+        if frozen_mask is not None:
+            updates = jax.tree.map(
+                lambda g, m: jnp.zeros_like(g) if m else g,
+                updates, frozen_mask,
+            )
         leaves = jax.tree.leaves(updates)
         max_grad = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
         # NaN/Inf anywhere makes max_grad NaN/Inf, so one comparison covers
@@ -117,7 +168,11 @@ def make_schedule(cfg: OptimizerConfig, multiplier: float = 1.0):
     )
 
 
-def make_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: OptimizerConfig,
+    params,
+    freeze: FreezeConfig = FreezeConfig(),
+) -> optax.GradientTransformation:
     def adamw(multiplier):
         return optax.adamw(
             make_schedule(cfg, multiplier),
@@ -126,12 +181,19 @@ def make_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation
             weight_decay=cfg.weight_decay,
         )
 
-    labels = _param_labels(params)
+    labels = _param_labels(params, freeze)
+    transforms = {
+        "new": adamw(1.0),
+        "pretrained": adamw(cfg.backbone_lr_multiplier),
+        # set_to_zero (not a masked adamw) so frozen subtrees see neither
+        # updates NOR weight decay, exactly like requires_grad=False.
+        "frozen": optax.set_to_zero(),
+    }
     inner = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.multi_transform(
-            {"new": adamw(1.0), "pretrained": adamw(cfg.backbone_lr_multiplier)},
-            labels,
-        ),
+        optax.multi_transform(transforms, labels),
     )
-    return skip_bad_gradients(inner, cfg.max_grad_skip)
+    frozen_mask = (
+        jax.tree.map(lambda l: l == "frozen", labels) if freeze.any else None
+    )
+    return skip_bad_gradients(inner, cfg.max_grad_skip, frozen_mask)

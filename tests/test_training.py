@@ -179,3 +179,84 @@ class TestDataParallel:
             float(m_dp["loss/total"]), float(m_single["loss/total"]),
             rtol=2e-4,
         )
+
+
+class TestKeywordFreezing:
+    """Keyword parameter freezing (reference model_wrapper.py:83-85,
+    178-184,1050-1065): frozen subtrees must receive exactly zero updates
+    through a real train step, including weight decay."""
+
+    def test_freeze_labels(self):
+        from spfsplatv2_tpu.training.optim import FreezeConfig, _param_labels
+
+        params = {
+            "params": {
+                "backbone": {"enc_blocks_0": {"w": jnp.ones(3)}},
+                "pose_head1": {"fc_t": {"w": jnp.ones(3)}},
+                "gaussian_param_head2": {"x": {"w": jnp.ones(3)}},
+                "downstream_head1": {"y": {"w": jnp.ones(3)}},
+            }
+        }
+
+        def flat(labels):
+            p = labels["params"]
+            return (p["backbone"]["enc_blocks_0"]["w"],
+                    p["pose_head1"]["fc_t"]["w"],
+                    p["gaussian_param_head2"]["x"]["w"],
+                    p["downstream_head1"]["y"]["w"])
+
+        lb = flat(_param_labels(params, FreezeConfig(freeze_backbone=True)))
+        assert lb == ("frozen", "new", "new", "pretrained")
+        # freeze_pretrained: trainable iff name matches an unfreeze keyword
+        # (gaussian_param_head / pose_head / intrinsic_encoder).
+        lp = flat(_param_labels(params, FreezeConfig(freeze_pretrained=True)))
+        assert lp == ("frozen", "new", "new", "frozen")
+        # pose_head freezing wins over the pretrained unfreeze list
+        # (applied LAST in the reference).
+        lph = flat(_param_labels(params, FreezeConfig(
+            freeze_pretrained=True, freeze_pose_head=True)))
+        assert lph == ("frozen", "frozen", "new", "frozen")
+
+    def test_frozen_subtree_unchanged_through_real_step(self, harness):
+        from spfsplatv2_tpu.training.optim import FreezeConfig
+
+        _, state, batch = harness
+        encoder = SPFSplatV2Encoder(SPFSplatV2Config(
+            backbone=TINY, sh_degree=1,
+            dpt_feature_dim=32, dpt_last_dim=16,
+            dpt_layer_dims=(16, 24, 32, 48),
+        ))
+        opt_cfg = OptimizerConfig(lr=2e-4, warm_up_steps=2, max_steps=100)
+        optimizer = make_optimizer(
+            opt_cfg, state.params, freeze=FreezeConfig(freeze_pose_head=True)
+        )
+        step_fn = make_train_step(
+            encoder, optimizer, (H, W),
+            DecoderConfig(rasterizer=RasterizerConfig(max_per_tile=512,
+                                                      chunk=128)),
+            LossConfig(use_lpips=False), donate=False,
+        )
+        state_f = init_train_state(encoder, optimizer, state.params)
+        new_state, metrics = step_fn(state_f, batch)
+        assert np.isfinite(float(metrics["loss/total"]))
+
+        def subtree(params, key_part):
+            return {
+                k: v for k, v in params["params"].items() if key_part in k
+            }
+
+        before_pose = subtree(state_f.params, "pose_head")
+        after_pose = subtree(new_state.params, "pose_head")
+        assert len(jax.tree.leaves(before_pose)) > 0
+        for b_leaf, a_leaf in zip(
+            jax.tree.leaves(before_pose), jax.tree.leaves(after_pose)
+        ):
+            np.testing.assert_array_equal(np.asarray(b_leaf), np.asarray(a_leaf))
+        # ... while unfrozen params did move.
+        before_bb = subtree(state_f.params, "downstream_head")
+        after_bb = subtree(new_state.params, "downstream_head")
+        diffs = [
+            float(jnp.abs(a - b).max())
+            for a, b in zip(jax.tree.leaves(before_bb), jax.tree.leaves(after_bb))
+        ]
+        assert max(diffs) > 0.0

@@ -113,3 +113,66 @@ class TestVGGTEncoder:
             out["extrinsics_cwt"][:, 0], jnp.broadcast_to(jnp.eye(4), (1, 4, 4)),
             atol=1e-5,
         )
+
+
+class TestVGGTViewDropout:
+    """Static-mask view dropout for the VGGT path (10-view v2-l training,
+    reference README.md:78-86; mask fork aggregator.py:289-369): masking a
+    view must be numerically equivalent to slicing it out."""
+
+    def _setup(self, vc=3, vt=1, h=28, w=28):
+        cfg = SPFSplatV2LConfig(
+            aggregator=TINY_AGG,
+            camera_head=CameraHeadConfig(dim_in=64, trunk_depth=1, num_heads=2),
+            sh_degree=1,
+        )
+        model = SPFSplatV2LEncoder(cfg)
+        ctx = jax.random.uniform(jax.random.PRNGKey(0), (1, vc, h, w, 3))
+        tgt = jax.random.uniform(jax.random.PRNGKey(1), (1, vt, h, w, 3))
+        intr = jnp.broadcast_to(jnp.eye(3), (1, vc, 3, 3))
+        intr_t = jnp.broadcast_to(jnp.eye(3), (1, vt, 3, 3))
+        params = model.init(jax.random.PRNGKey(2), ctx, intr, tgt, intr_t)
+        return model, params, ctx, tgt, intr, intr_t
+
+    def test_masked_context_dropout_matches_sliced(self):
+        model, params, ctx, tgt, intr, intr_t = self._setup()
+        out_m = model.apply(
+            params, ctx, intr, tgt, intr_t,
+            context_valid=jnp.asarray([1.0, 0.0, 1.0]),
+        )
+        keep = [0, 2]
+        out_s = model.apply(
+            params, ctx[:, keep], intr[:, keep], tgt, intr_t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m["pts3d"][:, keep]),
+            np.asarray(out_s["pts3d"]), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m["extrinsics_cwt"][:, [0, 2, 3]]),
+            np.asarray(out_s["extrinsics_cwt"]), rtol=2e-4, atol=2e-4,
+        )
+        # Dropped view's gaussians are transparent; kept views render.
+        hw = 28 * 28
+        op_m = np.asarray(out_m["gaussians"].opacities).reshape(1, 3, hw)
+        assert np.all(op_m[:, 1] == 0.0)
+        assert np.all(op_m[:, 0] > 0.0)
+
+    def test_masked_target_dropout_matches_sliced(self):
+        model, params, ctx, tgt, intr, intr_t = self._setup(vt=2)
+        tgt2, intr_t2 = tgt, intr_t
+        out_m = model.apply(
+            params, ctx, intr, tgt2, intr_t2,
+            target_valid=jnp.asarray([1.0, 0.0]),
+        )
+        out_s = model.apply(
+            params, ctx, intr, tgt2[:, :1], intr_t2[:, :1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m["pts3d"]), np.asarray(out_s["pts3d"]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m["extrinsics_cwt"][:, [0, 1, 2, 3]]),
+            np.asarray(out_s["extrinsics_cwt"]), rtol=2e-4, atol=2e-4,
+        )
