@@ -36,6 +36,11 @@ def main():
     g = 2 * h * w
     dup = 16
     chunk = 256
+    # Derive grid/field constants from the library so this benchmark can
+    # never silently measure a mismatched configuration (ADVICE r2).
+    from spfsplatv2_tpu.ops import raster_pallas as _rp, raster_tiled as _rt
+    num_tiles_xy = (-(-h // _rt.TILE), -(-w // _rt.TILE))
+    n_fields = _rp.NUM_FIELDS
     budget = 2 * g
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 8)
@@ -78,14 +83,14 @@ def main():
              depth_safe[:, None]], axis=-1)
         rows = packed[src]
         return jnp.concatenate(
-            [rows.T, jnp.zeros((raster_pallas.FEAT - 10, e_pad))], axis=0)
+            [rows.T, jnp.zeros((raster_pallas.FEAT - n_fields, e_pad))], axis=0)
     t_g = timeit(lambda: gather_fn(proj, src))
     print(f"gather+transpose: {t_g:.2f} ms", flush=True)
     attrs_t = gather_fn(proj, src)
 
     # fwd kernel (unaligned)
     fwd = jax.jit(lambda a, c, s: raster_pallas._fwd_call(
-        a, c, s, (16, 16), chunk, e_pad, False, 1, unaligned=True))
+        a, c, s, num_tiles_xy, chunk, e_pad, False, 1, unaligned=True))
     t_f = timeit(fwd, attrs_t, counts, starts)
     print(f"fwd kernel (unaligned): {t_f:.2f} ms", flush=True)
     fwd_out = fwd(attrs_t, counts, starts)
@@ -93,7 +98,7 @@ def main():
 
     # bwd kernel (unaligned, incl. RMW merges)
     bwd = jax.jit(lambda a, c, s, fo, gb: raster_pallas._bwd_call(
-        a, c, s, fo, gb, (16, 16), chunk, e_pad, False, 1,
+        a, c, s, fo, gb, num_tiles_xy, chunk, e_pad, False, 1,
         padded_capacity=False, unaligned=True))
     t_b = timeit(bwd, attrs_t, counts, starts, fwd_out, gbuf)
     print(f"bwd kernel (unaligned+rmw): {t_b:.2f} ms", flush=True)

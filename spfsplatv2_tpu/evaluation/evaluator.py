@@ -76,6 +76,7 @@ def evaluate_example(
     decoder_cfg: DecoderConfig = DecoderConfig(),
     eval_cfg: EvalConfig = EvalConfig(),
     lpips_params=None,
+    lpips_calibrated: bool = True,
     benchmarker: Optional[Benchmarker] = None,
 ) -> dict:
     """Evaluate ONE scene: all target views rendered at predicted poses."""
@@ -169,7 +170,10 @@ def evaluate_example(
     result["psnr"] = [float(x) for x in compute_psnr(gt, pred)]
     result["ssim"] = [float(x) for x in compute_ssim(gt, pred)]
     if lpips_params is not None:
-        result["lpips"] = [float(x) for x in compute_lpips(lpips_params, gt, pred)]
+        # Without converted VGG weights the metric is labeled so random-VGG
+        # scores can never be compared against published LPIPS numbers.
+        key = "lpips" if lpips_calibrated else "lpips_uncalibrated"
+        result[key] = [float(x) for x in compute_lpips(lpips_params, gt, pred)]
 
     if "extrinsics" in tgt:
         rot, tr = compute_pose_error(
@@ -227,6 +231,10 @@ def summarize_and_dump(
             ),
             "num_scenes": len(rs),
         }
+        if flat("lpips_uncalibrated", rs):
+            out["lpips_uncalibrated"] = float(
+                np.mean(flat("lpips_uncalibrated", rs))
+            )
         rot = np.asarray(flat("pose_rot_err_deg", rs), np.float64)
         tr = np.asarray(flat("pose_transl_err_deg", rs), np.float64)
         if rot.size:

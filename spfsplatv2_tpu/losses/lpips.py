@@ -119,3 +119,30 @@ def lpips_loss(lpips_params, prediction, target, weight: float = 1.0):
     model = LPIPS()
     d = model.apply(lpips_params, prediction * 2 - 1, target * 2 - 1)
     return weight * jnp.mean(d)
+
+
+def get_lpips_params(use_lpips: bool, weights_path=None):
+    """Centralized LPIPS param loading.
+
+    Returns (params | None, calibrated: bool).  `calibrated` is False when
+    no converted-VGG weights path is configured: the net then runs with
+    deterministic random features, which is a valid *training* perceptual
+    prior but NOT comparable to published LPIPS numbers — downstream
+    metric dumps must label the metric `lpips_uncalibrated` in that case
+    (reference metric: src/evaluation/metrics.py:22-33 with canonical
+    torchvision VGG16 weights).
+    """
+    if not use_lpips:
+        return None, True
+    if weights_path:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu")
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        return load_torch_lpips_weights(sd), True
+    print(
+        "WARNING: no LPIPS weights path; using deterministic random "
+        "VGG features (set loss.lpips_weights_path for canonical LPIPS). "
+        "Reported metrics will be labeled 'lpips_uncalibrated'."
+    )
+    return init_lpips_params(), False

@@ -60,22 +60,11 @@ def main(argv=None) -> int:
         restored = load_checkpoint(cfg.checkpointing.load)
         params = restored["params"] if "params" in restored else restored
 
-        lpips_params = None
-        if cfg.loss.use_lpips:
-            from spfsplatv2_tpu.losses.lpips import (
-                init_lpips_params,
-                load_torch_lpips_weights,
-            )
+        from spfsplatv2_tpu.losses.lpips import get_lpips_params
 
-            if cfg.loss.lpips_weights_path:
-                import torch
-
-                sd = torch.load(cfg.loss.lpips_weights_path, map_location="cpu")
-                lpips_params = load_torch_lpips_weights(
-                    {k: v.numpy() for k, v in sd.items()}
-                )
-            else:
-                lpips_params = init_lpips_params()
+        lpips_params, lpips_calibrated = get_lpips_params(
+            cfg.loss.use_lpips, cfg.loss.lpips_weights_path
+        )
 
         eval_cfg = EvalConfig(
             align_pose=cfg.test.align_pose,
@@ -96,6 +85,7 @@ def main(argv=None) -> int:
                 evaluate_example(
                     encoder, params, example, tuple(cfg.image_shape),
                     cfg.decoder, eval_cfg, lpips_params=lpips_params,
+                    lpips_calibrated=lpips_calibrated,
                     benchmarker=bench,
                 )
             )

@@ -38,6 +38,9 @@ class DecoderOutput:
     color: jax.Array  # (b, v, h, w, 3)
     depth: jax.Array  # (b, v, h, w)
     alpha: jax.Array  # (b, v, h, w)
+    # (b, v) int32 tile entries silently dropped by the rasterizer's entry
+    # budget (surfaced as the raster/dropped_entries train metric).
+    dropped_entries: jax.Array | None = None
 
 
 def decode_splatting(
@@ -74,7 +77,8 @@ def decode_splatting(
     if cfg.make_scale_invariant:
         # Undo the 1/near world rescale (reference decoder_splatting_cuda.py:74-76).
         depth = depth * near[..., None, None]
-    return DecoderOutput(color=out.color, depth=depth, alpha=out.alpha)
+    return DecoderOutput(color=out.color, depth=depth, alpha=out.alpha,
+                         dropped_entries=out.dropped_entries)
 
 
 def decode_orthographic(

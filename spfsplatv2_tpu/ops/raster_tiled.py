@@ -68,6 +68,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int,
 ) -> TileBins:
     """Build depth-sorted per-tile entry lists (non-differentiable)."""
+    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
     h, w = image_shape
     tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
     n_tiles = tiles_y * tiles_x
@@ -194,6 +195,7 @@ def bin_gaussians_compact(
     count with headroom.  Per-tile counts beyond max_per_tile drop the
     DEEPEST entries, like the fixed-stride layout.
     """
+    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
     h, w = image_shape
     tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
     n_tiles = tiles_y * tiles_x
@@ -361,6 +363,10 @@ class PrefixBins(NamedTuple):
     num_tiles_xy: tuple[int, int]
     e_pad: int
     dup: int
+    # () int32: live entries beyond the budget (dropped, deepest-first).
+    # Surfaced as the raster/dropped_entries train metric so silent
+    # budget overflow is observable.
+    n_overflow: jax.Array = jnp.zeros((), jnp.int32)
 
 
 def bin_gaussians_prefix(
@@ -378,6 +384,7 @@ def bin_gaussians_prefix(
     entry_budget bounds the live slots kept; entries past it (the deepest
     of the back tiles) are dropped.
     """
+    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
     h, w = image_shape
     tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
     n_tiles = tiles_y * tiles_x
@@ -448,6 +455,7 @@ def bin_gaussians_prefix(
     # budget clamps boundary tiles (dropping their deepest entries).
     counts = jnp.clip(jnp.minimum(diff, jnp.int32(budget) - starts), 0)
     n_live = jnp.minimum(tile_starts[-1], jnp.int32(budget))
+    n_overflow = jnp.maximum(tile_starts[-1] - jnp.int32(budget), 0)
 
     if e_pad <= g * dup:
         flat_p = flat_sorted[:e_pad]
@@ -457,7 +465,8 @@ def bin_gaussians_prefix(
         )
     src = flat_p // jnp.int32(dup)
     return PrefixBins(
-        flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup
+        flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup,
+        n_overflow,
     )
 
 
@@ -490,6 +499,7 @@ def bin_gaussians_batched(
     expansion of every camera lands in ONE flat sort keyed by
     (camera, tile, depth-rank) packed into a single narrow integer.
     """
+    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
     h, w = image_shape
     tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
     n_tiles = tiles_y * tiles_x

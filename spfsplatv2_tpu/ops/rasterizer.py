@@ -57,6 +57,10 @@ class RenderOutput:
     color: jax.Array  # (..., h, w, 3)
     depth: jax.Array  # (..., h, w)
     alpha: jax.Array  # (..., h, w)
+    # (cam,) int32 live tile entries dropped by the entry budget / per-tile
+    # caps (0 = none).  Overflow drops are silent in the image (black /
+    # truncated tiles), so they MUST be observable as a metric.
+    dropped_entries: jax.Array | None = None
 
 
 def _render_one(
@@ -73,10 +77,13 @@ def _render_one(
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    dropped = jnp.zeros((), jnp.int32)
     if backend == "reference":
         color, depth, alpha = composite_reference(proj, image_shape, background)
     elif backend == "tiled":
         bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
+        diff = bins.tile_starts[1:] - bins.tile_starts[:-1]
+        dropped = jnp.sum(jnp.maximum(diff - cfg.max_per_tile, 0))
         color, depth, alpha = composite_tiles(
             proj, bins, image_shape, background,
             max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
@@ -95,6 +102,7 @@ def _render_one(
         bins = bin_gaussians_prefix(
             proj, image_shape, cfg.max_tiles_per_gaussian, cfg.chunk, budget,
         )
+        dropped = bins.n_overflow
         color, depth, alpha = composite_pallas_prefix(
             proj, bins, image_shape, background, chunk=cfg.chunk,
         )
@@ -127,7 +135,7 @@ def _render_one(
         )
     else:
         raise ValueError(f"unknown rasterizer backend {backend!r}")
-    return color, depth, alpha
+    return color, depth, alpha, dropped
 
 
 @partial(
@@ -217,7 +225,10 @@ def render(
             proj, bins, image_shape, background,
             chunk=cfg.chunk, max_per_tile=cfg.max_per_tile,
         )
-        return RenderOutput(color=color, depth=depth, alpha=alpha)
+        diff = bins.tile_starts[:, 1:] - bins.tile_starts[:, :-1]
+        dropped = jnp.sum(jnp.maximum(diff - cfg.max_per_tile, 0), axis=-1)
+        return RenderOutput(color=color, depth=depth, alpha=alpha,
+                            dropped_entries=dropped)
 
     outs = []
     for i in range(n_cam):
@@ -232,5 +243,7 @@ def render(
     color = jnp.stack([o[0] for o in outs])
     depth = jnp.stack([o[1] for o in outs])
     alpha = jnp.stack([o[2] for o in outs])
+    dropped = jnp.stack([o[3] for o in outs])
 
-    return RenderOutput(color=color, depth=depth, alpha=alpha)
+    return RenderOutput(color=color, depth=depth, alpha=alpha,
+                        dropped_entries=dropped)

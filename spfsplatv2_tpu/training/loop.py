@@ -167,24 +167,13 @@ def run_training(
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         params = merge_params(params, convert_spfsplat_checkpoint(sd))
 
+    lpips_calibrated = True
     if lpips_params is None and cfg.loss.use_lpips:
-        from spfsplatv2_tpu.losses.lpips import (
-            init_lpips_params,
-            load_torch_lpips_weights,
+        from spfsplatv2_tpu.losses.lpips import get_lpips_params
+
+        lpips_params, lpips_calibrated = get_lpips_params(
+            cfg.loss.use_lpips, cfg.loss.lpips_weights_path
         )
-
-        if cfg.loss.lpips_weights_path:
-            import torch
-
-            sd = torch.load(cfg.loss.lpips_weights_path, map_location="cpu")
-            sd = {k: v.numpy() for k, v in sd.items()}
-            lpips_params = load_torch_lpips_weights(sd)
-        else:
-            print(
-                "WARNING: no LPIPS weights path; using deterministic random "
-                "VGG features (set loss.lpips_weights_path for canonical LPIPS)"
-            )
-            lpips_params = init_lpips_params()
 
     # Optional DUSt3R/MASt3R distillation teacher for the first
     # `distill_max_steps` steps (reference src/model/distiller/__init__.py:9-24
@@ -304,6 +293,7 @@ def run_training(
                 tuple(cfg.image_shape),
                 decoder_cfg=cfg.decoder,
                 lpips_params=lpips_params,
+                lpips_calibrated=lpips_calibrated,
                 out_dir=cfg.output_dir,
                 step=step,
             )

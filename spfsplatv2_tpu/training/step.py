@@ -123,6 +123,10 @@ def compute_losses(
         )
 
     metrics = {}
+    if dec_out.dropped_entries is not None:
+        # Entry-budget overflow renders truncated/black tiles into the loss
+        # with no visual trace — keep it observable (VERDICT r2 weak #7).
+        metrics["raster/dropped_entries"] = jnp.sum(dec_out.dropped_entries)
     if img_w is None:
         total = mse_loss(pred_flat, gt_flat, loss_cfg.mse_weight)
     else:

@@ -56,6 +56,7 @@ def run_validation_step(
     image_shape: tuple[int, int],
     decoder_cfg: DecoderConfig = DecoderConfig(),
     lpips_params=None,
+    lpips_calibrated: bool = True,
     out_dir: str | Path | None = None,
     step: int = 0,
     render_video: bool = True,
@@ -93,7 +94,10 @@ def run_validation_step(
         metrics[f"{tag}psnr"] = float(jnp.mean(compute_psnr(gt[lo:hi], pred[lo:hi])))
         metrics[f"{tag}ssim"] = float(jnp.mean(compute_ssim(gt[lo:hi], pred[lo:hi])))
         if lpips_params is not None:
-            metrics[f"{tag}lpips"] = float(
+            # Uncalibrated (random-VGG) LPIPS is labeled so its numbers can
+            # never be mistaken for published-protocol LPIPS.
+            key = "lpips" if lpips_calibrated else "lpips_uncalibrated"
+            metrics[f"{tag}{key}"] = float(
                 jnp.mean(compute_lpips(lpips_params, gt[lo:hi], pred[lo:hi]))
             )
 

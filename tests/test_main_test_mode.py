@@ -97,6 +97,48 @@ class TestMainTestMode:
         assert set(sub) == {"small", "medium"}
         assert all(v["num_scenes"] == 1 for v in sub.values())
 
+    def test_uncalibrated_lpips_is_labeled(self, test_root, tmp_path):
+        """Without converted VGG weights the metric key must switch to
+        `lpips_uncalibrated` in every dumped JSON (random-VGG scores are
+        not comparable to published LPIPS numbers)."""
+        from spfsplatv2_tpu.config import load_config
+        from spfsplatv2_tpu.main import main
+        from spfsplatv2_tpu.models import get_encoder
+        from spfsplatv2_tpu.training.loop import save_checkpoint
+
+        index = {
+            "scene_000": {"context": [0, 6], "target": [3], "overlap": 0.2},
+        }
+        index_path = tmp_path / "evaluation_index.json"
+        index_path.write_text(json.dumps(index))
+        out_dir = tmp_path / "test_out_lpips"
+
+        ov = _tiny_overrides(test_root, index_path, "UNSET", out_dir)
+        ov = [o for o in ov if o != "loss.use_lpips=false"]
+        ov.append("loss.use_lpips=true")
+        cfg = load_config(
+            None, [o for o in ov if not o.startswith("checkpointing")]
+        )
+        encoder = get_encoder(cfg.encoder)
+        rng = np.random.default_rng(0)
+        img = np.asarray(rng.uniform(0, 1, (1, 2, 32, 32, 3)), np.float32)
+        intr = np.broadcast_to(np.eye(3, dtype=np.float32), (1, 2, 3, 3))
+        params = encoder.init(
+            jax.random.PRNGKey(0), img, intr, img[:, :1], intr[:, :1]
+        )
+        ckpt_dir = tmp_path / "ckpt_lpips"
+        save_checkpoint(ckpt_dir, {"params": jax.device_get(params)}, 0)
+
+        rc = main(ov[:1] + [f"checkpointing.load={ckpt_dir / 'step_0'}"]
+                  + [o for o in ov[1:] if not o.startswith("checkpointing")])
+        assert rc == 0
+        scores = json.loads((out_dir / "scores_all.json").read_text())
+        assert all("lpips_uncalibrated" in s and "lpips" not in s
+                   for s in scores)
+        avg = json.loads((out_dir / "scores_all_avg.json").read_text())
+        assert avg["lpips_uncalibrated"] is not None
+        assert avg["lpips"] is None
+
 
 class TestMainEvalPoseMode:
     def test_pose_eval_artifact(self, test_root, tmp_path):

@@ -82,3 +82,37 @@ def test_overflow_drops_tiles_but_stays_finite_and_differentiable():
         means, covs, harm, op,
     )
     assert not np.allclose(np.asarray(out.color), np.asarray(exact.color))
+
+
+def test_dropped_entries_metric_counts_overflow():
+    """raster/dropped_entries observability (VERDICT r2 weak #7): the
+    render output must report how many live entries overflowed the budget,
+    and report 0 when nothing overflowed."""
+    means, covs, harm, op = _scene()
+    ample = RasterizerConfig(backend="pallas", scale_invariant=False,
+                             max_per_tile=1024, chunk=128,
+                             max_tiles_per_gaussian=9)
+    out = _render(ample, means, covs, harm, op)
+    assert out.dropped_entries is not None
+    assert int(out.dropped_entries.sum()) == 0
+
+    tiny = RasterizerConfig(backend="pallas", scale_invariant=False,
+                            max_per_tile=1024, chunk=128,
+                            max_tiles_per_gaussian=9,
+                            entry_budget=128)
+    out_t = _render(tiny, means, covs, harm, op)
+    assert int(out_t.dropped_entries.sum()) > 0
+
+
+def test_dropped_entries_metric_tiled_backend():
+    means, covs, harm, op = _scene()
+    tiny = RasterizerConfig(backend="tiled", scale_invariant=False,
+                            max_per_tile=128, chunk=128,
+                            max_tiles_per_gaussian=9)
+    out = _render(tiny, means, covs, harm, op)
+    assert int(out.dropped_entries.sum()) > 0
+    ample = RasterizerConfig(backend="tiled", scale_invariant=False,
+                             max_per_tile=2048, chunk=128,
+                             max_tiles_per_gaussian=9)
+    out_a = _render(ample, means, covs, harm, op)
+    assert int(out_a.dropped_entries.sum()) == 0

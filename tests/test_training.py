@@ -134,6 +134,7 @@ class TestTrainStep:
         for key in [
             "loss/mse", "loss/total", "loss/reproj_c1", "loss/reproj_c2",
             "train/psnr", "pose/context_rot_deg", "grad/max",
+            "raster/dropped_entries",
         ]:
             assert key in metrics, key
 
