@@ -147,6 +147,7 @@ def run_validation_step(
         if render_video:
             from spfsplatv2_tpu.evaluation.video import (
                 render_interpolation_video,
+                render_wobble_video,
             )
 
             try:
@@ -154,6 +155,13 @@ def run_validation_step(
                     encoder, params, ctx, image_shape,
                     num_frames=30, decoder_cfg=decoder_cfg,
                     output_path=step_dir / "interpolation.gif",
+                )
+                # Wobble video (reference render_video_wobble,
+                # model_wrapper.py:805-838).
+                render_wobble_video(
+                    encoder, params, ctx, image_shape,
+                    num_frames=30, decoder_cfg=decoder_cfg,
+                    output_path=step_dir / "wobble.gif",
                 )
             except Exception as e:  # video is best-effort during training
                 print(f"validation video skipped: {e}", flush=True)

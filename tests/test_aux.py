@@ -214,3 +214,109 @@ class TestIndexGenerator:
         )
         far = float(frustum_overlap(jnp.eye(4), k, far_pose, k))
         assert far < 0.3
+
+
+class TestCameraTrajectory:
+    """Wobble/spin trajectories (reference camera_trajectory/{wobble,spin}.py)."""
+
+    def test_wobble_transformation_radius_and_closure(self):
+        from spfsplatv2_tpu.utils.camera_trajectory import (
+            generate_wobble_transformation,
+        )
+
+        t = np.linspace(0, 1, 9, dtype=np.float32)
+        tf = generate_wobble_transformation(
+            np.asarray(2.0), t, num_rotations=1, scale_radius_with_t=False
+        )
+        assert tf.shape == (9, 4, 4)
+        # In-plane circle of radius 2: offsets have norm 2, z untouched.
+        off = tf[:, :2, 3]
+        np.testing.assert_allclose(np.linalg.norm(off, axis=-1), 2.0, atol=1e-5)
+        assert np.all(tf[:, 2, 3] == 0)
+        # One full rotation returns to the start.
+        np.testing.assert_allclose(tf[0], tf[-1], atol=1e-5)
+        # scale_radius_with_t: radius grows linearly from 0.
+        tf_s = generate_wobble_transformation(np.asarray(2.0), t)
+        np.testing.assert_allclose(
+            np.linalg.norm(tf_s[:, :2, 3], axis=-1), 2.0 * t, atol=1e-5
+        )
+
+    def test_wobble_composes_with_pose(self):
+        from spfsplatv2_tpu.utils.camera_trajectory import generate_wobble
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [1, 2, 3]
+        t = np.linspace(0, 1, 5, dtype=np.float32)
+        out = generate_wobble(pose, 0.5, t)
+        assert out.shape == (5, 4, 4)
+        np.testing.assert_allclose(out[:, 2, 3], 3.0, atol=1e-6)
+
+    def test_spin_orbits_origin(self):
+        from spfsplatv2_tpu.utils.camera_trajectory import generate_spin
+
+        tf = generate_spin(8, elevation=10.0, radius=3.0)
+        assert tf.shape == (8, 4, 4)
+        # Camera origins stay at distance `radius` from the origin.
+        np.testing.assert_allclose(
+            np.linalg.norm(tf[:, :3, 3], axis=-1), 3.0, atol=1e-5
+        )
+        # Valid rigid rotations.
+        rtr = tf[:, :3, :3] @ np.swapaxes(tf[:, :3, :3], 1, 2)
+        np.testing.assert_allclose(
+            rtr, np.broadcast_to(np.eye(3), (8, 3, 3)), atol=1e-5
+        )
+
+    def test_interpolate_intrinsics_lerp(self):
+        from spfsplatv2_tpu.utils.camera_trajectory import (
+            interpolate_intrinsics,
+        )
+
+        a = np.diag([1.0, 1.0, 1.0]).astype(np.float32)
+        b = np.diag([3.0, 5.0, 1.0]).astype(np.float32)
+        out = interpolate_intrinsics(a, b, np.asarray([0.0, 0.5, 1.0]))
+        np.testing.assert_allclose(out[0], a, atol=1e-6)
+        np.testing.assert_allclose(out[1, 0, 0], 2.0, atol=1e-6)
+        np.testing.assert_allclose(out[2], b, atol=1e-6)
+
+
+class TestDrawing:
+    """Distance-field drawing (reference visualization/drawing/*)."""
+
+    def test_draw_points_hits_center(self):
+        from spfsplatv2_tpu.utils.drawing import draw_points
+
+        img = np.zeros((32, 32, 3), np.float32)
+        out = draw_points(img, np.asarray([[16.0, 16.0]]), (1.0, 0.0, 0.0),
+                          radius=2.0)
+        assert out[16, 16, 0] > 0.9 and out[16, 16, 1] < 0.1
+        assert out[0, 0].max() == 0.0
+
+    def test_draw_lines_covers_segment(self):
+        from spfsplatv2_tpu.utils.drawing import draw_lines
+
+        img = np.zeros((32, 32, 3), np.float32)
+        out = draw_lines(img, np.asarray([[4.0, 16.0]]),
+                         np.asarray([[28.0, 16.0]]), (0.0, 1.0, 0.0),
+                         width=1.5)
+        row = out[16, :, 1]
+        assert row[8] > 0.5 and row[20] > 0.5
+        assert out[2, 2].max() == 0.0
+        # plot-coordinate mapping
+        out2 = draw_lines(img, np.asarray([[0.0, 0.5]]),
+                          np.asarray([[1.0, 0.5]]), (0.0, 0.0, 1.0),
+                          width=1.5, x_range=(0, 1), y_range=(0, 1))
+        assert out2[16, 16, 2] > 0.5
+
+    def test_draw_cameras_three_projections(self):
+        from spfsplatv2_tpu.utils.drawing import draw_cameras
+
+        extr = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)).copy()
+        extr[1, :3, 3] = [1.0, 0.2, 0.1]
+        intr = np.broadcast_to(
+            np.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]],
+                       np.float32), (2, 3, 3))
+        views = draw_cameras(64, extr, intr, np.asarray([[1, 0, 0], [0, 1, 0]],
+                                                        np.float32))
+        assert views.shape == (3, 64, 64, 3)
+        assert views.max() > 0.5  # something was drawn in each projection
+        assert all(v.max() > 0.2 for v in views)
