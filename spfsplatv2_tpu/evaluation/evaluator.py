@@ -263,3 +263,69 @@ def summarize_and_dump(
     if sub_avg:
         summary["by_overlap"] = sub_avg
     return summary
+
+
+class RunningMetricTables:
+    """Running console metric tables during the test loop: overall + one
+    table per context-overlap bucket (reference print_preview_metrics,
+    src/model/model_wrapper.py:987-1046, called per test step at :504).
+
+    update() folds one scene's scalar metrics into running means; render()
+    returns the formatted tables the reference prints after every scene.
+    """
+
+    def __init__(self, method: str = "ours"):
+        self.method = method
+        self._sums: dict[str, float] = {}
+        self._counts: dict[str, int] = {}
+        self._sub_sums: dict[str, dict[str, float]] = {}
+        self._sub_counts: dict[str, dict[str, int]] = {}
+
+    @staticmethod
+    def _scene_scalars(result: dict) -> dict[str, float]:
+        out = {}
+        for key in ("psnr", "ssim", "lpips", "lpips_uncalibrated",
+                    "pose_rot_err_deg", "pose_transl_err_deg"):
+            vals = result.get(key)
+            if vals:
+                out[key] = float(np.mean(vals))
+        return out
+
+    def update(self, result: dict) -> None:
+        metrics = self._scene_scalars(result)
+        for k, v in metrics.items():
+            self._sums[k] = self._sums.get(k, 0.0) + v
+            self._counts[k] = self._counts.get(k, 0) + 1
+        tag = result.get("overlap_tag")
+        if tag:
+            sums = self._sub_sums.setdefault(tag, {})
+            counts = self._sub_counts.setdefault(tag, {})
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
+
+    def means(self, tag: str | None = None) -> dict[str, float]:
+        sums = self._sums if tag is None else self._sub_sums.get(tag, {})
+        counts = self._counts if tag is None else self._sub_counts.get(tag, {})
+        return {k: sums[k] / counts[k] for k in sums}
+
+    @staticmethod
+    def _table(means: dict[str, float], method: str) -> str:
+        if not means:
+            return "(no metrics yet)"
+        keys = list(means)
+        widths = [max(len(k), 8) for k in keys]
+        header = "  ".join(["Method".ljust(8)]
+                           + [k.ljust(w) for k, w in zip(keys, widths)])
+        row = "  ".join(
+            [method.ljust(8)]
+            + [f"{means[k]:.3f}".ljust(w) for k, w in zip(keys, widths)]
+        )
+        return f"{header}\n{row}"
+
+    def render(self) -> str:
+        lines = ["All Pairs:", self._table(self.means(), self.method)]
+        for tag in sorted(self._sub_sums):
+            lines.append(f"Overlap: {tag}")
+            lines.append(self._table(self.means(tag), self.method))
+        return "\n".join(lines)

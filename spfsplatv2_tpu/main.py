@@ -78,7 +78,10 @@ def main(argv=None) -> int:
                 cfg.encoder.variant_cfg, "estimating_focal", False
             ),
         )
+        from spfsplatv2_tpu.evaluation.evaluator import RunningMetricTables
+
         bench = Benchmarker()
+        tables = RunningMetricTables()
         results = []
         for example in dataset.epoch(0):
             results.append(
@@ -89,6 +92,10 @@ def main(argv=None) -> int:
                     benchmarker=bench,
                 )
             )
+            # Running console tables after every scene (reference
+            # print_preview_metrics, model_wrapper.py:504,987-1046).
+            tables.update(results[-1])
+            print(tables.render(), flush=True)
         summary = summarize_and_dump(results, cfg.test.output_path, bench)
         print(json.dumps(summary, indent=2))
         return 0

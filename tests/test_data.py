@@ -249,3 +249,50 @@ def test_parallel_workers_do_not_change_the_stream(tmp_path):
         np.testing.assert_array_equal(
             ea["target"]["extrinsics"], eb["target"]["extrinsics"]
         )
+
+
+class TestBoundsAndPatchShims:
+    """Library shims (reference src/dataset/shims/{bounds,patch}_shim.py)."""
+
+    def _example(self, v=2, h=32, w=32):
+        rng = np.random.default_rng(0)
+        extr = np.broadcast_to(np.eye(4, dtype=np.float32), (v, 4, 4)).copy()
+        extr[1, 0, 3] = 1.0  # baseline 1
+        intr = np.broadcast_to(
+            np.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]],
+                       np.float32), (v, 3, 3)).copy()
+        views = {
+            "image": np.asarray(rng.uniform(0, 1, (v, h, w, 3)), np.float32),
+            "intrinsics": intr,
+            "extrinsics": extr,
+            "near": np.ones((v,), np.float32),
+            "far": np.full((v,), 100.0, np.float32),
+        }
+        return {"context": views, "target": {k: v_.copy() for k, v_ in views.items()}}
+
+    def test_bounds_shim_disparity_math(self):
+        from spfsplatv2_tpu.data.shims import apply_bounds_shim
+
+        ex = self._example()
+        out = apply_bounds_shim(ex, near_disparity=32.0, far_disparity=1.0)
+        # fx = fy = 1 (normalized), 32x32 image -> pixel size 1/32 at depth 1.
+        # near = baseline / (32 * 1/32) = 1; far = baseline / (1 * 1/32) = 32.
+        np.testing.assert_allclose(out["context"]["near"], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(out["context"]["far"], 32.0, rtol=1e-5)
+        np.testing.assert_allclose(out["target"]["near"], 1.0, rtol=1e-5)
+        # original untouched
+        assert ex["context"]["near"][0] == 1.0
+
+    def test_patch_shim_crops_and_fixes_intrinsics(self):
+        from spfsplatv2_tpu.data.shims import apply_patch_shim
+
+        ex = self._example(h=34, w=38)
+        out = apply_patch_shim(ex, patch_size=16)
+        assert out["context"]["image"].shape[1:3] == (32, 32)
+        # fx scaled by w / w_new = 38/32
+        np.testing.assert_allclose(
+            out["context"]["intrinsics"][:, 0, 0], 38 / 32, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            out["context"]["intrinsics"][:, 1, 1], 34 / 32, rtol=1e-6
+        )

@@ -182,3 +182,30 @@ class TestMainEvalPoseMode:
         summary = json.loads((out_dir / "pose_eval.json").read_text())
         assert "feed_forward" in summary and "pnp" in summary
         assert np.isfinite(summary["feed_forward"]["pose_median_deg"])
+
+
+class TestRunningMetricTables:
+    """Running console tables during the test loop (reference
+    print_preview_metrics, model_wrapper.py:987-1046)."""
+
+    def test_running_means_and_buckets(self):
+        from spfsplatv2_tpu.evaluation.evaluator import RunningMetricTables
+
+        t = RunningMetricTables()
+        t.update({"psnr": [20.0, 22.0], "ssim": [0.8], "overlap_tag": "small"})
+        t.update({"psnr": [25.0], "ssim": [0.9], "overlap_tag": "medium"})
+        t.update({"psnr": [27.0], "overlap_tag": "small"})
+        m = t.means()
+        # per-scene means first: (21 + 25 + 27) / 3
+        np.testing.assert_allclose(m["psnr"], (21.0 + 25.0 + 27.0) / 3)
+        np.testing.assert_allclose(m["ssim"], (0.8 + 0.9) / 2)
+        np.testing.assert_allclose(t.means("small")["psnr"], 24.0)
+        np.testing.assert_allclose(t.means("medium")["psnr"], 25.0)
+        out = t.render()
+        assert "All Pairs:" in out and "Overlap: small" in out
+        assert "psnr" in out
+
+    def test_render_empty(self):
+        from spfsplatv2_tpu.evaluation.evaluator import RunningMetricTables
+
+        assert "no metrics" in RunningMetricTables().render()
