@@ -48,7 +48,7 @@ def main():
     bg = jnp.zeros((1, 3))
     tgt = jax.random.uniform(keys[6], (1, h, w, 3))
 
-    for backend in ["pallas", "pallas_compact", "pallas_padded"]:
+    for backend in ["pallas", "tiled"]:
         cfg = RasterizerConfig(
             backend=backend, scale_invariant=False, max_per_tile=2048,
             chunk=256, max_tiles_per_gaussian=16, entry_budget=2 * g,

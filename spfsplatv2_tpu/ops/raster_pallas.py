@@ -194,7 +194,12 @@ def _forward_kernel(
     start = starts_ref[t]
     count = counts_ref[t]
     if unaligned:
-        aligned = (start // 128) * 128
+        # Alignment granularity: 128 lanes for compiled DMA; `chunk` when
+        # chunk < 128 (interpret-mode tests) so the unaligned head always
+        # fits inside the FIRST chunk — the boundary merge below assumes
+        # head < chunk.
+        align = 128 if chunk % 128 == 0 else chunk
+        aligned = (start // align) * align
         head = start - aligned
     else:
         aligned = start
@@ -297,7 +302,12 @@ def _backward_kernel(
     start = starts_ref[t]
     count = counts_ref[t]
     if unaligned:
-        aligned = (start // 128) * 128
+        # Alignment granularity: 128 lanes for compiled DMA; `chunk` when
+        # chunk < 128 (interpret-mode tests) so the unaligned head always
+        # fits inside the FIRST chunk — the boundary merge below assumes
+        # head < chunk.
+        align = 128 if chunk % 128 == 0 else chunk
+        aligned = (start // align) * align
         head = start - aligned
     else:
         aligned = start
@@ -511,48 +521,6 @@ def _backward_kernel(
     jax.lax.fori_loop(c_exit, n_ch_pad, zero_body, None)
 
 
-def align_bins(
-    bins: TileBins, chunk: int, max_per_tile: int, n_gauss: int
-):
-    """Re-pack sorted entries into fixed-stride disjoint tile segments.
-
-    Returns (ids_aligned (E_cap,), counts (n_tiles,)) with
-    E_cap = n_tiles * max_per_tile static; tile t owns
-    [t * max_per_tile, (t + 1) * max_per_tile) (static strides replace a
-    searchsorted over E_cap that dominated runtime — ~100 ms at 1M entries).
-    """
-    tiles_y, tiles_x = bins.num_tiles_xy
-    n_tiles = tiles_y * tiles_x
-
-    starts = bins.tile_starts[:-1]
-    counts = jnp.minimum(
-        bins.tile_starts[1:] - bins.tile_starts[:-1], max_per_tile
-    )
-
-    # One 2D window gather (n_tiles, max_per_tile): fast at runtime AND fast
-    # to compile (a vmapped dynamic_slice unrolls into n_tiles ops and takes
-    # minutes to compile; a flat per-entry gather with computed tile indices
-    # runs ~20x slower).
-    ids_padded = jnp.concatenate(
-        [bins.ids_sorted, jnp.zeros((max_per_tile,), jnp.int32)]
-    )
-    offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    src = starts[:, None] + offset
-    valid = offset < counts[:, None]
-    # Padding slots get SPREAD row indices, not one shared dummy row: ~60%
-    # of slots are padding, and a gather/scatter where most indices hit the
-    # SAME row serializes on one memory bank (profiled 7.5 ms vs 0.11 ms
-    # for the same gather with spread indices).  The compositing kernels
-    # mask entries beyond the real count, so gathered garbage is inert and
-    # the scatter-add VJP deposits exact zeros at the spread rows.
-    spread = (
-        jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-        + counts[:, None]
-    ) % jnp.int32(n_gauss)
-    ids = jnp.where(valid, ids_padded[src], spread)
-    return ids.reshape(-1), counts
-
-
 def _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
               max_per_tile, interpret, n_cam, unaligned=False):
     tiles_y, tiles_x = num_tiles_xy
@@ -642,38 +610,6 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
     )(counts, starts, _pixel_basis(px, py), attrs_t, fwd_out, grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _composite_core(attrs_t, counts, starts, num_tiles_xy, chunk,
-                    max_per_tile, interpret, n_cam, padded_capacity):
-    return _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
-                     max_per_tile, interpret, n_cam)
-
-
-def _composite_core_fwd(attrs_t, counts, starts, num_tiles_xy, chunk,
-                        max_per_tile, interpret, n_cam, padded_capacity):
-    out = _composite_core(
-        attrs_t, counts, starts, num_tiles_xy, chunk, max_per_tile,
-        interpret, n_cam, padded_capacity,
-    )
-    return out, (attrs_t, counts, starts, out)
-
-
-def _composite_core_bwd(num_tiles_xy, chunk, max_per_tile, interpret, n_cam,
-                        padded_capacity, residuals, g):
-    attrs_t, counts, starts, fwd_out = residuals
-    dattrs = _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy,
-                       chunk, max_per_tile, interpret, n_cam,
-                       padded_capacity)
-    # Every chunk of every segment's capacity is written by its owning tile
-    # (zeros beyond the real count); ragged-layout slots outside every
-    # segment (the static-bound tail) are never read back — the caller's
-    # gather VJP only touches rows its spread indices cover with zeros.
-    return dattrs, None, None
-
-
-_composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
-
-
 NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)
 
 
@@ -744,7 +680,7 @@ def composite_pallas_prefix(
 ):
     """Compositing over the prefix entry layout (fastest path).
 
-    vs composite_pallas_compact: no slot re-packing stage (the sort's live
+    vs the retired compact layout: no slot re-packing stage (the sort's live
     prefix is the slot space; kernels mask unaligned heads), ~25% fewer
     gather/scatter indices (no per-tile alignment slack), and the backward
     accumulation is scatter-set + dense sum instead of scatter-add.
@@ -783,244 +719,6 @@ def composite_pallas_prefix(
         x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
         x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
         return x[:h, :w]
-
-    return (
-        untile(color_t),
-        untile(depth_t[..., None])[..., 0],
-        untile(alpha_t[..., None])[..., 0],
-    )
-
-
-def composite_pallas_compact(
-    proj: ProjectedGaussians,
-    bins,                         # raster_tiled.CompactBins
-    image_shape: tuple[int, int],
-    background: jax.Array,
-    chunk: int = 256,
-    max_per_tile: int = 4096,
-    interpret: bool | None = None,
-):
-    """Compositing over the compact ragged entry layout (default path).
-
-    vs composite_pallas: the attribute gather runs over ~live entries
-    instead of n_tiles * max_per_tile fixed-stride slots, and only the 10
-    real fields are gathered (pad rows are concatenated after).  Both the
-    gather and its scatter-add VJP are per-index-limited ops, so slots
-    and fields shrink their cost directly.
-    """
-    h, w = image_shape
-    tiles_y, tiles_x = bins.num_tiles_xy
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    assert max_per_tile % chunk == 0
-    if not interpret:
-        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
-
-    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
-    packed = jnp.concatenate(
-        [
-            proj.xy,                    # 0:2
-            proj.conic,                 # 2:5
-            proj.color,                 # 5:8
-            proj.opacity[:, None],      # 8
-            depth_safe[:, None],        # 9
-        ],
-        axis=-1,
-    )                                   # (g, 10)
-
-    # Differentiable gather; the where masks dead-slot garbage forward AND
-    # zeroes the backward kernel's uninitialized dead-tail cotangents in
-    # the VJP before they reach the scatter-add.
-    rows = jnp.where(bins.slot_live[:, None], packed[bins.src], 0.0)
-    attrs_t = jnp.concatenate(
-        [rows.T, jnp.zeros((FEAT - 10, bins.e_aligned), packed.dtype)],
-        axis=0,
-    )                                   # (FEAT, e_aligned)
-
-    out = _composite_core(
-        attrs_t, bins.counts, bins.starts, (tiles_y, tiles_x), chunk,
-        max_per_tile, interpret, 1, False,
-    )  # (n_tiles, P, 8)
-
-    color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
-    depth_t = out[..., 3]
-    alpha_t = out[..., 4]
-
-    def untile(x):
-        c = x.shape[-1] if x.ndim == 3 else 1
-        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
-        return x[:h, :w]
-
-    return (
-        untile(color_t),
-        untile(depth_t[..., None])[..., 0],
-        untile(alpha_t[..., None])[..., 0],
-    )
-
-
-def composite_pallas(
-    proj: ProjectedGaussians,
-    bins: TileBins,
-    image_shape: tuple[int, int],
-    background: jax.Array,
-    chunk: int = 256,
-    max_per_tile: int = 4096,
-    interpret: bool | None = None,
-):
-    """Drop-in replacement for raster_tiled.composite_tiles."""
-    h, w = image_shape
-    tiles_y, tiles_x = bins.num_tiles_xy
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    assert max_per_tile % chunk == 0
-    if not interpret:
-        # Mosaic's divisibility proof for HBM column offsets (pl.multiple_of)
-        # requires chunk-aligned segments at >= the 128-lane tiling.
-        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
-
-    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
-    packed = jnp.concatenate(
-        [
-            proj.xy,                    # 0:2
-            proj.conic,                 # 2:5
-            proj.color,                 # 5:8
-            proj.opacity[:, None],      # 8
-            depth_safe[:, None],        # 9
-            jnp.zeros((proj.xy.shape[0], FEAT - 10), proj.xy.dtype),
-        ],
-        axis=-1,
-    )
-    n_gauss = proj.xy.shape[0]
-    if bins.order is not None:
-        # ids_sorted indexes depth-permuted rows (see bin_gaussians).
-        packed = packed[bins.order]
-
-    ids, counts = align_bins(bins, chunk, max_per_tile, n_gauss)
-    # Differentiable ROW gather ((E_cap, FEAT) rows lower to fast TPU
-    # dynamic-gathers; a lane-axis gather of the transposed buffer does
-    # not) followed by one transpose into the kernel's (FEAT, E_cap) DMA
-    # layout.  Padding ids are spread across rows (see align_bins).
-    attrs_t = packed[ids].T  # (FEAT, E_cap)
-
-    n_tiles = tiles_y * tiles_x
-    starts = jnp.arange(n_tiles, dtype=jnp.int32) * jnp.int32(max_per_tile)
-    out = _composite_core(
-        attrs_t, counts, starts, (tiles_y, tiles_x), chunk, max_per_tile,
-        interpret, 1, True,
-    )  # (n_tiles, P, 8)
-
-    color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]
-    depth_t = out[..., 3]
-    alpha_t = out[..., 4]
-
-    def untile(x):
-        c = x.shape[-1] if x.ndim == 3 else 1
-        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, c)
-        return x[:h, :w]
-
-    return (
-        untile(color_t),
-        untile(depth_t[..., None])[..., 0],
-        untile(alpha_t[..., None])[..., 0],
-    )
-
-
-def align_bins_batched(bins, chunk: int, max_per_tile: int, n_gauss: int):
-    """Multi-camera align_bins over the flat (cam * n_tiles) tile space.
-
-    Returns (ids (cam * n_tiles * max_per_tile,) GLOBAL rows into the
-    (cam * g,) flattened per-camera attribute table, counts (cam * n_tiles,)).
-    """
-    tiles_y, tiles_x = bins.num_tiles_xy
-    n_tiles = tiles_y * tiles_x
-    cam = bins.n_cam
-
-    starts = bins.tile_starts[:, :-1].reshape(-1)
-    counts = jnp.minimum(
-        bins.tile_starts[:, 1:] - bins.tile_starts[:, :-1], max_per_tile
-    ).reshape(-1)
-
-    ids_padded = jnp.concatenate(
-        [bins.ids_sorted, jnp.zeros((max_per_tile,), jnp.int32)]
-    )
-    offset = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    src = starts[:, None] + offset
-    valid = offset < counts[:, None]
-    # Spread padding rows within each camera's block (see align_bins).
-    spread = (offset + counts[:, None]) % jnp.int32(n_gauss)
-    local = jnp.where(valid, ids_padded[src], spread)
-    cam_of_tile = (
-        jnp.arange(cam * n_tiles, dtype=jnp.int32)[:, None] // jnp.int32(n_tiles)
-    )
-    ids = local + cam_of_tile * jnp.int32(n_gauss)
-    return ids.reshape(-1), counts
-
-
-def composite_pallas_batched(
-    proj: ProjectedGaussians,      # fields lead with (cam,)
-    bins,                          # BatchedTileBins
-    image_shape: tuple[int, int],
-    background: jax.Array,         # (cam, 3)
-    chunk: int = 256,
-    max_per_tile: int = 4096,
-    interpret: bool | None = None,
-):
-    """All-camera compositing in ONE kernel launch pair (grid = cam * tiles).
-
-    Same math as composite_pallas per camera; the XLA-side align/gather/
-    scatter stages and both Pallas launches are batched so their fixed
-    latencies are paid once instead of n_cam times.
-    """
-    h, w = image_shape
-    tiles_y, tiles_x = bins.num_tiles_xy
-    cam = bins.n_cam
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    assert max_per_tile % chunk == 0
-    if not interpret:
-        assert chunk % 128 == 0, "compiled kernels need chunk % 128 == 0"
-
-    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
-    packed = jnp.concatenate(
-        [
-            proj.xy,                    # 0:2
-            proj.conic,                 # 2:5
-            proj.color,                 # 5:8
-            proj.opacity[..., None],    # 8
-            depth_safe[..., None],      # 9
-            jnp.zeros((*proj.xy.shape[:2], FEAT - 10), proj.xy.dtype),
-        ],
-        axis=-1,
-    )                                   # (cam, g, FEAT)
-    n_gauss = proj.xy.shape[1]
-    packed = jnp.take_along_axis(packed, bins.order[..., None], axis=1)
-    packed = packed.reshape(cam * n_gauss, FEAT)
-
-    ids, counts = align_bins_batched(bins, chunk, max_per_tile, n_gauss)
-    attrs_t = packed[ids].T             # (FEAT, cam * E_cap)
-
-    starts = jnp.arange(
-        cam * tiles_y * tiles_x, dtype=jnp.int32
-    ) * jnp.int32(max_per_tile)
-    out = _composite_core(
-        attrs_t, counts, starts, (tiles_y, tiles_x), chunk, max_per_tile,
-        interpret, cam, True,
-    )                                   # (cam * n_tiles, P, 8)
-    out = out.reshape(cam, tiles_y * tiles_x, PIX_PER_TILE, 8)
-
-    color_t = out[..., 0:3] + out[..., 5:6] * background[:, None, None, :]
-    depth_t = out[..., 3]
-    alpha_t = out[..., 4]
-
-    def untile(x):
-        c = x.shape[-1] if x.ndim == 4 else 1
-        x = x.reshape(cam, tiles_y, tiles_x, TILE, TILE, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
-            cam, tiles_y * TILE, tiles_x * TILE, c
-        )
-        return x[:, :h, :w]
 
     return (
         untile(color_t),

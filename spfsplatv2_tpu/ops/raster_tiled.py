@@ -10,10 +10,9 @@ src/model/decoder/cuda_splatting.py:45-144). Design:
      ellipse-AABB tile footprints instead of the circular getRect.
   2. One `jax.lax.sort` over (tile_id, depth_rank) replaces the CUDA radix
      sort; per-tile segments are found with searchsorted.  The Pallas path
-     uses `bin_gaussians_compact` (chunk-aligned ragged segments sized by
-     live entries, row payloads, gathers-only slot maps — see its
-     docstring); this module's `bin_gaussians` keeps the simpler layout for
-     the pure-XLA compositor and the batched backend.
+     uses `bin_gaussians_prefix` (the sort's live prefix IS the slot
+     space — see PrefixBins); this module's `bin_gaussians` keeps the
+     simpler layout for the pure-XLA compositor.
   3. Each 16x16 tile composites a fixed-size window of its front-most
      `max_per_tile` entries in chunks. Within a chunk the front-to-back
      recurrence T_{i+1} = T_i * (1 - a_i) is evaluated with a cumulative
@@ -146,195 +145,10 @@ def bin_gaussians(
     )
 
 
-class CompactBins(NamedTuple):
-    """Compact ragged per-tile entry layout for the Pallas kernels.
-
-    Entries live in chunk-aligned per-tile segments of a single flat slot
-    space of STATIC size e_aligned; segment t is [starts[t], starts[t] +
-    roundup(counts[t], chunk)) and only its first counts[t] slots are real.
-    src maps each slot to the ORIGINAL gaussian row feeding it (dead slots
-    get spread row indices whose gathered garbage the kernels mask; spread —
-    not a shared dummy row — because a mostly-same-row gather/scatter
-    serializes on one memory bank).
-
-    vs the round-1 fixed-stride layout (tile t owns t * max_per_tile
-    exactly): slots shrink from n_tiles * max_per_tile (524k for ~200k
-    live entries at the bench scale) to ~live + alignment slack, and the
-    attribute gather + its scatter-add VJP shrink proportionally — they
-    are per-INDEX-limited (~7 ns/index on v5e), not bandwidth-limited.
-    """
-
-    src: jax.Array           # (e_aligned,) original gaussian row per slot
-    slot_live: jax.Array     # (e_aligned,) bool: slot holds a real entry
-    counts: jax.Array        # (n_tiles,) real entry counts (<= max_per_tile)
-    starts: jax.Array        # (n_tiles,) chunk-aligned segment starts
-    num_tiles_xy: tuple[int, int]
-    e_aligned: int
-
-
-def bin_gaussians_compact(
-    proj: ProjectedGaussians,
-    image_shape: tuple[int, int],
-    max_tiles_per_gaussian: int,
-    chunk: int,
-    max_per_tile: int,
-    entry_budget: int,
-) -> CompactBins:
-    """Ragged compact binning for the Pallas path (non-differentiable).
-
-    One (key, row) sort over the (g, dup) duplicate expansion does both
-    compaction and ordering; slot->gaussian maps are then built from
-    broadcasts and spread gathers only (see the inline comments and
-    PERFORMANCE.md for the measured cost model that forces this shape).
-    The sort key packs (tile, depth_rank) into one int32, and ranks — not
-    pre-permuted rows — mean no 16-wide depth permutation of the
-    attribute table is ever needed.
-
-    entry_budget sizes the static aligned slot space: tiles whose segment
-    would overflow it are dropped WHOLE, so size it >= the live entry
-    count with headroom.  Per-tile counts beyond max_per_tile drop the
-    DEEPEST entries, like the fixed-stride layout.
-    """
-    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
-    h, w = image_shape
-    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
-    n_tiles = tiles_y * tiles_x
-
-    xy = jax.lax.stop_gradient(proj.xy)
-    depth = jax.lax.stop_gradient(proj.depth)
-    radius = proj.radius
-    g = xy.shape[0]
-
-    # Depth rank WITHOUT permuting attribute tables: rank[row] = position
-    # of `row` in front-to-back order, via inverse-permutation scatter.
-    # Live depths are positive (near-cull) and dead ones are +inf, so the
-    # int32 bit pattern is order-preserving and the sort runs on int keys.
-    depth_bits = jax.lax.bitcast_convert_type(
-        depth.astype(jnp.float32), jnp.int32
-    )
-    order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
-    rank = jnp.zeros((g,), jnp.int32).at[order].set(
-        jnp.arange(g, dtype=jnp.int32), unique_indices=True
-    )
-
-    live_g = (radius > 0) & jnp.isfinite(depth)
-
-    # Ellipse AABB (see ProjectedGaussians.rx): same exp(-4.5) truncation
-    # bound as the CUDA circular getRect but fewer touched tiles for
-    # anisotropic gaussians, which shrinks the sort/gather/kernel load.
-    rx = proj.rx.astype(xy.dtype)
-    ry = proj.ry.astype(xy.dtype)
-    x0 = jnp.clip(jnp.floor((xy[:, 0] - rx) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((xy[:, 1] - ry) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((xy[:, 0] + rx) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((xy[:, 1] + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-    bw = jnp.where(live_g, x1 - x0, 0)
-    bh = jnp.where(live_g, y1 - y0, 0)
-    n_touched = bw * bh
-
-    d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
-    bw_safe = jnp.maximum(bw, 1)[:, None]
-    dy = d // bw_safe
-    dx = d % bw_safe
-    slot_ok = (d < n_touched[:, None]) & live_g[:, None]
-    tile_id = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
-
-    row_bits = max((g - 1).bit_length(), 1)
-    if row_bits + (n_tiles + 1).bit_length() > 31:
-        raise ValueError(
-            f"compact binning key overflows int32 for g={g}, "
-            f"n_tiles={n_tiles}; use the padded path"
-        )
-    sentinel_key = jnp.int32(n_tiles << row_bits)
-    key = jnp.where(
-        slot_ok, tile_id * jnp.int32(1 << row_bits) + rank[:, None],
-        sentinel_key,
-    ).reshape(-1)
-
-    # ONE unstable (key, row) sort compacts AND orders: dead slots carry
-    # the sentinel key and sink to the tail; the live prefix is
-    # (tile, rank)-sorted and the payload stream carries each entry's
-    # ORIGINAL gaussian row (key + one payload stays on the fast TPU sort
-    # path; recovering rows afterwards via order[key & mask] costs a
-    # full extra per-index-bound gather, profiled 2.3 ms).  XLA TPU
-    # scatters run far slower per index than sorts (a 2M-index compaction
-    # scatter profiled 11.9 ms vs this whole sort ~2.4 ms), so everything
-    # below is sorts + gathers; the only scatter is the tiny
-    # inverse-permutation rank build above.
-    rows = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_tiles_per_gaussian)
-    ).reshape(-1)
-    key_sorted, rows_sorted = jax.lax.sort(
-        (key, rows), dimension=0, num_keys=1, is_stable=False
-    )
-    bound = jnp.arange(n_tiles + 1, dtype=jnp.int32) * jnp.int32(1 << row_bits)
-    tile_starts = jnp.searchsorted(key_sorted, bound).astype(jnp.int32)
-    counts = jnp.minimum(
-        jnp.minimum(tile_starts[1:] - tile_starts[:-1], max_per_tile),
-        entry_budget,
-    )
-
-    # Chunk-aligned ragged segments: capacity_t = roundup(counts_t, chunk).
-    # The static slot space holds entry_budget entries plus per-tile
-    # alignment slack; tiles whose segment would overflow it are dropped
-    # whole (counts forced to 0) — size the budget with headroom.
-    e_aligned = (
-        _cdiv(entry_budget, chunk) * chunk + n_tiles * chunk
-    )
-    caps = ((counts + (chunk - 1)) // chunk) * chunk
-    raw_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(caps)[:-1].astype(jnp.int32)]
-    )
-    # Overflowing tiles keep their RAW start (monotone, so the chunk->tile
-    # search below stays consistent) but count 0: the kernels issue no DMA
-    # for empty tiles, so out-of-range starts are never dereferenced, and
-    # their raw slot ranges stay disjoint from every live segment.
-    fits = raw_starts + caps <= e_aligned
-    counts = jnp.where(fits, counts, 0)
-    starts = raw_starts
-
-    # src is built without scatters AND without concentrated gathers (a
-    # 327k-query gather into a 256-entry table serializes on banks —
-    # profiled ~18 ms): per-CHUNK values come from ~1k-element ops, then
-    # broadcast to slots; the only big gathers (key_sorted[p], order[rank])
-    # have well-spread indices.
-    n_chunks = e_aligned // chunk
-    chunk_to_tile = (
-        jnp.searchsorted(
-            starts, jnp.arange(n_chunks, dtype=jnp.int32) * chunk, side="right"
-        ).astype(jnp.int32) - 1
-    )
-
-    def per_slot(table_per_tile):
-        per_chunk = table_per_tile[chunk_to_tile]     # (n_chunks,) gather
-        return jnp.broadcast_to(
-            per_chunk[:, None], (n_chunks, chunk)
-        ).reshape(-1)
-
-    slot = jnp.arange(e_aligned, dtype=jnp.int32)
-    off = slot - per_slot(starts)
-    slot_live = (off >= 0) & (off < per_slot(counts))
-    # Dead slots get SPREAD positions (a clamped shared index would
-    # serialize the gather on one bank, like a shared dummy row would).
-    p = jnp.where(
-        slot_live,
-        jnp.minimum(
-            per_slot(tile_starts[:-1]) + jnp.maximum(off, 0),
-            g * max_tiles_per_gaussian - 1,
-        ),
-        slot % jnp.int32(g * max_tiles_per_gaussian),
-    )
-    spread = slot % jnp.int32(g)
-    src = jnp.where(slot_live, rows_sorted[p], spread)
-    return CompactBins(
-        src, slot_live, counts, starts, (tiles_y, tiles_x), e_aligned
-    )
-
-
 class PrefixBins(NamedTuple):
     """Prefix entry layout: sorted live entries ARE the slot space.
 
-    vs CompactBins: no chunk-aligned re-packing pass at all.  The binning
+    vs the retired chunk-aligned compact layout: no re-packing pass.  The binning
     sort's live prefix (entries sorted by (tile, depth-rank), dead slots
     sunk to the tail behind a sentinel key) is used directly; tile t's
     segment is [starts[t], starts[t] + counts[t]) at ARBITRARY offsets and
@@ -379,7 +193,7 @@ def bin_gaussians_prefix(
     """Prefix-layout binning (non-differentiable).  See PrefixBins.
 
     Same duplicate expansion + single (key, payload) unstable sort as
-    bin_gaussians_compact, but the payload is the flat expansion slot and
+    bin_gaussians, but the payload is the flat expansion slot and
     the sorted order is used as-is — no slot re-packing stage.
     entry_budget bounds the live slots kept; entries past it (the deepest
     of the back tiles) are dropped.
@@ -395,8 +209,8 @@ def bin_gaussians_prefix(
     g = xy.shape[0]
     dup = max_tiles_per_gaussian
 
-    # Depth rank without permuting attribute tables (see
-    # bin_gaussians_compact): order-preserving int32 bitcast of positive
+    # Depth rank WITHOUT permuting attribute tables: order-preserving
+    # int32 bitcast of positive
     # depths, inverse-permutation scatter.
     depth_bits = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
@@ -460,117 +274,20 @@ def bin_gaussians_prefix(
     if e_pad <= g * dup:
         flat_p = flat_sorted[:e_pad]
     else:
+        # Pad with OUT-OF-BOUNDS flat ids: the backward scatter-set uses
+        # unique_indices=True + mode="drop", so padding must never collide
+        # with a real flat id (a zero pad would silently clobber flat 0's
+        # gradient with a zero from the dead tail).
         flat_p = jnp.concatenate(
-            [flat_sorted, jnp.zeros((e_pad - g * dup,), jnp.int32)]
+            [
+                flat_sorted,
+                g * dup + jnp.arange(e_pad - g * dup, dtype=jnp.int32),
+            ]
         )
     src = flat_p // jnp.int32(dup)
     return PrefixBins(
         flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup,
         n_overflow,
-    )
-
-
-class BatchedTileBins(NamedTuple):
-    """Multi-camera tile bins over the combined (cam * n_tiles) tile space.
-
-    One sort/searchsorted/gather pipeline covers ALL cameras: the fixed
-    per-stage latencies (kernel launches, sub-ms copies of small arrays over
-    the device link) that an unrolled per-camera loop pays n_cam times are
-    paid once.  ids_sorted holds PER-CAMERA depth-permuted row indices;
-    `order (cam, g)` maps them back to original gaussian rows.
-    """
-
-    ids_sorted: jax.Array    # (cam * g * dup,)
-    tile_starts: jax.Array   # (cam, n_tiles + 1) global positions
-    num_tiles_xy: tuple[int, int]
-    n_cam: int
-    max_tiles_per_gaussian: int
-    order: jax.Array         # (cam, g)
-
-
-def bin_gaussians_batched(
-    proj: ProjectedGaussians,
-    image_shape: tuple[int, int],
-    max_tiles_per_gaussian: int,
-) -> BatchedTileBins:
-    """Batched-camera variant of bin_gaussians; proj fields lead with (cam,).
-
-    Identical math per camera (see bin_gaussians), but the duplicate
-    expansion of every camera lands in ONE flat sort keyed by
-    (camera, tile, depth-rank) packed into a single narrow integer.
-    """
-    assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
-    h, w = image_shape
-    tiles_y, tiles_x = _cdiv(h, TILE), _cdiv(w, TILE)
-    n_tiles = tiles_y * tiles_x
-
-    xy = jax.lax.stop_gradient(proj.xy)          # (cam, g, 2)
-    depth = jax.lax.stop_gradient(proj.depth)    # (cam, g)
-    radius = proj.radius
-    cam, g = depth.shape
-
-    order = jnp.argsort(depth, axis=-1, stable=False).astype(jnp.int32)
-    xy = jnp.take_along_axis(xy, order[..., None], axis=1)
-    radius = jnp.take_along_axis(radius, order, axis=1)
-    depth_s = jnp.take_along_axis(depth, order, axis=1)
-
-    live = (radius > 0) & jnp.isfinite(depth_s)
-
-    r = radius.astype(xy.dtype)
-    x0 = jnp.clip(jnp.floor((xy[..., 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((xy[..., 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((xy[..., 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((xy[..., 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-    bw = jnp.where(live, x1 - x0, 0)
-    bh = jnp.where(live, y1 - y0, 0)
-    n_touched = bw * bh
-
-    d = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, None, :]
-    bw_safe = jnp.maximum(bw, 1)[..., None]
-    dy = d // bw_safe
-    dx = d % bw_safe
-    slot_ok = (d < n_touched[..., None]) & live[..., None]
-    tile_id = jnp.where(
-        slot_ok,
-        (y0[..., None] + dy) * tiles_x + (x0[..., None] + dx),
-        n_tiles,
-    ).astype(jnp.int32)                           # (cam, g, dup)
-
-    # Combined segment id: camera-major, per-camera sentinel tile n_tiles
-    # sits between cameras so each camera's dead entries stay in its own
-    # tail.  Packing (seg, row) into one int32 keeps the sort on the
-    # single-stream fast path (see bin_gaussians).
-    row_bits = max((g - 1).bit_length(), 1)
-    seg = (
-        jnp.arange(cam, dtype=jnp.int32)[:, None, None] * jnp.int32(n_tiles + 1)
-        + tile_id
-    )
-    row = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[None, :, None], tile_id.shape
-    )
-    bound_seg = (
-        jnp.arange(cam, dtype=jnp.int32)[:, None] * jnp.int32(n_tiles + 1)
-        + jnp.arange(n_tiles + 1, dtype=jnp.int32)[None, :]
-    )                                             # (cam, n_tiles + 1)
-    key_max_bits = row_bits + int(cam * (n_tiles + 1)).bit_length()
-    if key_max_bits <= 31:
-        key = seg * jnp.int32(1 << row_bits) + row
-        key_sorted = jax.lax.sort(key.reshape(-1), dimension=0, is_stable=False)
-        ids_sorted = jnp.bitwise_and(key_sorted, jnp.int32((1 << row_bits) - 1))
-        tile_starts = jnp.searchsorted(
-            key_sorted, bound_seg.reshape(-1) * jnp.int32(1 << row_bits)
-        ).astype(jnp.int32)
-    else:
-        seg_sorted, ids_sorted = jax.lax.sort(
-            (seg.reshape(-1), row.reshape(-1)),
-            dimension=0, num_keys=2, is_stable=False,
-        )
-        tile_starts = jnp.searchsorted(
-            seg_sorted, bound_seg.reshape(-1)
-        ).astype(jnp.int32)
-    return BatchedTileBins(
-        ids_sorted, tile_starts.reshape(cam, n_tiles + 1),
-        (tiles_y, tiles_x), cam, max_tiles_per_gaussian, order,
     )
 
 

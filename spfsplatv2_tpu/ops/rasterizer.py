@@ -8,15 +8,18 @@ call-time argument) supported natively because the projection stage is
 plain autodiff-able XLA.
 
 Backends:
-  * "tiled"     — tile-binned XLA path (fast, fully differentiable)
+  * "pallas"    — hand-written TPU kernels over the PREFIX entry layout
+                  (the binning sort's live prefix IS the slot space);
+                  unrolled per-camera pipeline.  The production path.
+  * "tiled"     — tile-binned pure-XLA path (fully differentiable; the
+                  CPU/GPU fallback and an independent implementation for
+                  A/B comparison)
   * "reference" — dense O(pixels x gaussians) oracle (tests / tiny scenes)
-  * "pallas"    — hand-written TPU kernels over the COMPACT ragged entry
-                  layout (sort + gather sized by live entries, not padded
-                  slots); unrolled per-camera pipeline
-  * "pallas_padded" — round-1 fixed-stride layout (tile t owns
-                  t * max_per_tile slots); kept for comparison
-  * "pallas_batched" — one flat pipeline over all cameras (slower on v5e;
-                  kept for re-evaluation, see render())
+
+Retired round-1/2 layouts (pallas_padded fixed-stride, pallas_compact
+chunk-aligned ragged, pallas_batched flat multi-camera) were measured
+slower and lived here as selectable backends; they are deleted (see git
+history / PERFORMANCE.md for the measurements that killed them).
 """
 
 from __future__ import annotations
@@ -106,33 +109,6 @@ def _render_one(
         color, depth, alpha = composite_pallas_prefix(
             proj, bins, image_shape, background, chunk=cfg.chunk,
         )
-    elif backend == "pallas_compact":
-        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_compact
-        from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_compact
-
-        g = means.shape[0]
-        budget = cfg.entry_budget
-        if budget is None and cfg.entry_budget_factor is not None:
-            budget = int(cfg.entry_budget_factor * g)
-        if budget is None:
-            budget = g * cfg.max_tiles_per_gaussian
-        budget = -(-min(budget, g * cfg.max_tiles_per_gaussian) // 128) * 128
-        bins = bin_gaussians_compact(
-            proj, image_shape, cfg.max_tiles_per_gaussian,
-            cfg.chunk, cfg.max_per_tile, budget,
-        )
-        color, depth, alpha = composite_pallas_compact(
-            proj, bins, image_shape, background, chunk=cfg.chunk,
-            max_per_tile=cfg.max_per_tile,
-        )
-    elif backend == "pallas_padded":
-        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas
-
-        bins = bin_gaussians(proj, image_shape, cfg.max_tiles_per_gaussian)
-        color, depth, alpha = composite_pallas(
-            proj, bins, image_shape, background, chunk=cfg.chunk,
-            max_per_tile=cfg.max_per_tile,
-        )
     else:
         raise ValueError(f"unknown rasterizer backend {backend!r}")
     return color, depth, alpha, dropped
@@ -184,52 +160,6 @@ def render(
             covariances = covariances * (scale[:, None, None, None] ** 2)
 
     n_cam = extrinsics.shape[0]
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
-
-    if backend == "pallas_batched":
-        # ALL cameras through one flat pipeline (one binning sort, one
-        # aligned gather, one kernel launch pair with grid = cam * tiles).
-        # Measured SLOWER than the unrolled loop on v5e (f+b 255.8 ms vs
-        # 132.8 ms at 4cam/256^2/131k G): the flat backward's single big
-        # gradient scatter serializes worse than 4 independent per-camera
-        # scatters that the scheduler overlaps.  Kept as a selectable
-        # backend for future re-evaluation, NOT the default.
-        from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_batched
-        from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_batched
-
-        if shared:
-            means = jnp.broadcast_to(means[None], (n_cam, *means.shape))
-            covariances = jnp.broadcast_to(
-                covariances[None], (n_cam, *covariances.shape)
-            )
-            harmonics = jnp.broadcast_to(
-                harmonics[None], (n_cam, *harmonics.shape)
-            )
-            opacities = jnp.broadcast_to(
-                opacities[None], (n_cam, *opacities.shape)
-            )
-        project = partial(
-            project_gaussians,
-            image_shape=image_shape, sh_degree=sh_degree, use_sh=cfg.use_sh,
-            ewa_reference_shape=ewa_reference_shape,
-        )
-        proj = jax.vmap(project)(
-            means, covariances, harmonics, opacities, extrinsics, intrinsics
-        )
-        bins = bin_gaussians_batched(
-            proj, image_shape, cfg.max_tiles_per_gaussian
-        )
-        color, depth, alpha = composite_pallas_batched(
-            proj, bins, image_shape, background,
-            chunk=cfg.chunk, max_per_tile=cfg.max_per_tile,
-        )
-        diff = bins.tile_starts[:, 1:] - bins.tile_starts[:, :-1]
-        dropped = jnp.sum(jnp.maximum(diff - cfg.max_per_tile, 0), axis=-1)
-        return RenderOutput(color=color, depth=depth, alpha=alpha,
-                            dropped_entries=dropped)
-
     outs = []
     for i in range(n_cam):
         sel = (lambda x: x) if shared else (lambda x: x[i])

@@ -49,3 +49,61 @@ def shard_batch(batch, mesh: Mesh):
     """Shard every leaf of a batch pytree along its leading axis."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+_DTYPE_BYTES = {
+    "pred": 0.125, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+    "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Bytes of one HLO shape literal like 'f32[128,256]' or 'bf16[64]{0}'."""
+    import re
+
+    m = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape_str.strip())
+    if not m:
+        return 0
+    dtype, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return int(n * _DTYPE_BYTES.get(dtype, 4))
+
+
+def audit_collectives(hlo_text: str) -> dict:
+    """Parse compiled HLO for communication ops: counts + payload bytes.
+
+    The DDP-equivalent claim for the data-parallel train step is checkable
+    from the compiled program alone: gradient all-reduce volume must be
+    ~= the f32 parameter byte count (XLA inserts the psum from sharding
+    propagation; no hand-written collectives).  Returns per-op-kind
+    {count, bytes}.
+    """
+    import re
+
+    kinds = ("all-reduce", "reduce-scatter", "all-gather",
+             "collective-permute", "all-to-all")
+    out = {k: {"count": 0, "bytes": 0} for k in kinds}
+    # Instruction form: `%name = <shape> all-reduce(...)` or
+    # `... = (f32[...], f32[...]) all-reduce-start(...)`.
+    pat = re.compile(
+        r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^\s]*)\s+"
+        r"(all-reduce|reduce-scatter|all-gather|collective-permute|all-to-all)"
+        r"(?:-start)?\("
+    )
+    for m in pat.finditer(hlo_text):
+        shapes, kind = m.groups()
+        if shapes.startswith("("):
+            # Tuple shape: dims contain commas too, so regex the shape
+            # literals out instead of splitting on ','.
+            total = sum(
+                _shape_bytes(s)
+                for s in re.findall(r"[a-z0-9]+\[[0-9,]*\]", shapes)
+            )
+        else:
+            total = _shape_bytes(shapes)
+        out[kind]["count"] += 1
+        out[kind]["bytes"] += total
+    return out

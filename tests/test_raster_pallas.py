@@ -1,7 +1,10 @@
-"""Pallas kernel vs oracle: forward images and gradients allclose.
+"""Pallas kernels vs oracle: forward images and gradients allclose.
 
-Runs the TPU kernels in interpret mode on CPU (the same code path compiles
-on real TPU hardware)."""
+Exercises the DEFAULT production layout (prefix: the binning sort's live
+prefix is the slot space, `bin_gaussians_prefix` +
+`composite_pallas_prefix`) directly against the dense reference
+compositor.  Runs the TPU kernels in interpret mode on CPU (the same code
+path compiles on real TPU hardware)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,9 +12,9 @@ import numpy as np
 import pytest
 
 from spfsplatv2_tpu.ops.raster_common import project_gaussians
-from spfsplatv2_tpu.ops.raster_pallas import composite_pallas
+from spfsplatv2_tpu.ops.raster_pallas import composite_pallas_prefix
 from spfsplatv2_tpu.ops.raster_ref import composite_reference
-from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians
+from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_prefix
 
 import sys
 from pathlib import Path
@@ -20,22 +23,27 @@ sys.path.insert(0, str(Path(__file__).parent))
 from test_rasterizer import CAMERA_K, assert_images_close, make_scene  # noqa: E402
 
 
-def run_both(n=150, h=48, w=48, seed=0, chunk=64, max_per_tile=256):
+def prefix_composite(proj, hw, bg, chunk=64, dup=32, budget=None):
+    g = proj.xy.shape[0]
+    if budget is None:
+        budget = g * dup
+    bins = bin_gaussians_prefix(proj, hw, dup, chunk, budget)
+    return composite_pallas_prefix(proj, bins, hw, bg, chunk=chunk,
+                                   interpret=True)
+
+
+def run_both(n=150, h=48, w=48, seed=0, chunk=64):
     means, covs, harm, op = make_scene(jax.random.PRNGKey(seed), n=n)
     bg = jnp.asarray([0.15, 0.25, 0.35])
     proj = project_gaussians(means, covs, harm, op, jnp.eye(4), CAMERA_K, (h, w))
-    bins = bin_gaussians(proj, (h, w), max_tiles_per_gaussian=32)
     ref = composite_reference(proj, (h, w), bg)
-    pal = composite_pallas(
-        proj, bins, (h, w), bg, chunk=chunk, max_per_tile=max_per_tile,
-        interpret=True,
-    )
-    return proj, bins, ref, pal, bg
+    pal = prefix_composite(proj, (h, w), bg, chunk=chunk)
+    return proj, ref, pal, bg
 
 
-class TestPallasForward:
+class TestPrefixForward:
     def test_matches_reference(self):
-        _, _, ref, pal, _ = run_both()
+        _, ref, pal, _ = run_both()
         assert_images_close(pal[0], ref[0], atol=3e-5)   # color
         assert_images_close(pal[1], ref[1], atol=3e-4, hard_atol=2e-2)  # depth
         assert_images_close(pal[2], ref[2], atol=3e-5)   # alpha
@@ -49,14 +57,12 @@ class TestPallasForward:
         bg = jnp.asarray([0.5, 0.5, 0.5])
         h = w = 48
         proj = project_gaussians(means, covs, harm, op, jnp.eye(4), CAMERA_K, (h, w))
-        bins = bin_gaussians(proj, (h, w), 16)
         ref = composite_reference(proj, (h, w), bg)
-        pal = composite_pallas(proj, bins, (h, w), bg, chunk=64,
-                               max_per_tile=128, interpret=True)
+        pal = prefix_composite(proj, (h, w), bg, chunk=64, dup=16)
         assert_images_close(pal[0], ref[0], atol=3e-5)
 
 
-class TestPallasBackward:
+class TestPrefixBackward:
     def test_grads_match_oracle(self):
         h = w = 48
         means, covs, harm, op = make_scene(jax.random.PRNGKey(3), n=100, d_sh=4)
@@ -68,11 +74,7 @@ class TestPallasBackward:
             if backend == "ref":
                 col, dep, alp = composite_reference(proj, (h, w), bg)
             else:
-                bins = bin_gaussians(proj, (h, w), 32)
-                col, dep, alp = composite_pallas(
-                    proj, bins, (h, w), bg, chunk=64, max_per_tile=256,
-                    interpret=True,
-                )
+                col, dep, alp = prefix_composite(proj, (h, w), bg, chunk=64)
             return (
                 jnp.mean((col - target) ** 2)
                 + 0.01 * jnp.mean(dep)
@@ -110,11 +112,8 @@ class TestPallasBackward:
             if backend == "ref":
                 col, _, _ = composite_reference(proj, (h, w), bg)
             else:
-                bins = bin_gaussians(proj, (h, w), 16)
-                col, _, _ = composite_pallas(
-                    proj, bins, (h, w), bg, chunk=32, max_per_tile=64,
-                    interpret=True,
-                )
+                col, _, _ = prefix_composite(proj, (h, w), bg, chunk=32,
+                                             dup=16)
             return jnp.sum(col)
 
         g_ref = jax.grad(lambda x: loss("ref", x))(harm)
@@ -127,3 +126,22 @@ class TestPallasBackward:
         # legitimate T=1e-4 boundary flips vs the oracle (f32 log-cumsum vs
         # direct cumprod).
         assert float(jnp.abs(g_pal[-4:]).max()) < 1e-4
+
+    def test_tight_budget_grads_stay_finite(self):
+        # Budget overflow drops the deepest entries; gradients must stay
+        # finite and the dropped entries contribute exactly zero.
+        h = w = 32
+        means, covs, harm, op = make_scene(jax.random.PRNGKey(5), n=200)
+        bg = jnp.zeros((3,))
+
+        def loss(harm):
+            proj = project_gaussians(
+                means, covs, harm, op, jnp.eye(4), CAMERA_K, (h, w)
+            )
+            col, _, _ = prefix_composite(
+                proj, (h, w), bg, chunk=32, dup=16, budget=128
+            )
+            return jnp.sum(col)
+
+        g = jax.grad(loss)(harm)
+        assert bool(jnp.isfinite(g).all())
