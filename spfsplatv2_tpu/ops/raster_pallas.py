@@ -613,9 +613,9 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
 NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _prefix_core(packed, flat_p, src, counts, starts, n_live,
-                 num_tiles_xy, chunk, interpret, dup):
+                 num_tiles_xy, chunk, interpret, dup, base_dup):
     """Gather + composite over the prefix entry layout (see PrefixBins).
 
     The gather lives INSIDE this custom-VJP boundary so the backward pass
@@ -634,7 +634,7 @@ def _prefix_core(packed, flat_p, src, counts, starts, n_live,
 
 
 def _prefix_core_fwd(packed, flat_p, src, counts, starts, n_live,
-                     num_tiles_xy, chunk, interpret, dup):
+                     num_tiles_xy, chunk, interpret, dup, base_dup):
     e_pad = flat_p.shape[0]
     rows = packed[src]
     attrs_t = jnp.concatenate(
@@ -645,7 +645,8 @@ def _prefix_core_fwd(packed, flat_p, src, counts, starts, n_live,
     return out, (packed, flat_p, attrs_t, counts, starts, n_live, out)
 
 
-def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, residuals, g):
+def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, base_dup,
+                     residuals, g):
     packed, flat_p, attrs_t, counts, starts, n_live, fwd_out = residuals
     n_gauss = packed.shape[0]
     e_pad = flat_p.shape[0]
@@ -663,7 +664,18 @@ def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, residuals, g):
     # scatter — it stays on the cheap per-index path.
     dflat = jnp.zeros((n_gauss * dup, NUM_FIELDS), drows.dtype)
     dflat = dflat.at[flat_p].set(drows, unique_indices=True, mode="drop")
-    dpacked = dflat.reshape(n_gauss, dup, NUM_FIELDS).sum(axis=1)
+    if base_dup == dup:
+        dpacked = dflat.reshape(n_gauss, dup, NUM_FIELDS).sum(axis=1)
+    else:
+        # Two-tier flat space (see PrefixBins): [0, g*dup_a) row-major by
+        # (row, d); [g*dup_a, g*dup) row-major by (row, d') for the tier-B
+        # pool slots.  Both reduce densely over their slot axis.
+        split = n_gauss * base_dup
+        extra = dup - base_dup
+        dpacked = (
+            dflat[:split].reshape(n_gauss, base_dup, NUM_FIELDS).sum(axis=1)
+            + dflat[split:].reshape(n_gauss, extra, NUM_FIELDS).sum(axis=1)
+        )
     return dpacked, None, None, None, None, None
 
 
@@ -708,6 +720,7 @@ def composite_pallas_prefix(
     out = _prefix_core(
         packed, bins.flat, bins.src, bins.counts, bins.starts, bins.n_live,
         (tiles_y, tiles_x), chunk, interpret, bins.dup,
+        bins.base_dup or bins.dup,
     )  # (n_tiles, P, 8)
 
     color_t = out[..., 0:3] + out[..., 5:6] * background[None, None, :]

@@ -181,6 +181,11 @@ class PrefixBins(NamedTuple):
     # Surfaced as the raster/dropped_entries train metric so silent
     # budget overflow is observable.
     n_overflow: jax.Array = jnp.zeros((), jnp.int32)
+    # Two-tier expansion split (see bin_gaussians_prefix): flat ids
+    # < g * base_dup are tier-A (row * base_dup + d); the rest are tier-B
+    # pool slots (g * base_dup + row * (dup - base_dup) + d').  base_dup ==
+    # dup means single-tier.
+    base_dup: int = 0
 
 
 def bin_gaussians_prefix(
@@ -189,14 +194,27 @@ def bin_gaussians_prefix(
     max_tiles_per_gaussian: int,
     chunk: int,
     entry_budget: int,
+    base_tiles_per_gaussian: int | None = None,
+    big_pool_factor: float = 0.125,
 ) -> PrefixBins:
     """Prefix-layout binning (non-differentiable).  See PrefixBins.
 
-    Same duplicate expansion + single (key, payload) unstable sort as
-    bin_gaussians, but the payload is the flat expansion slot and
-    the sorted order is used as-is — no slot re-packing stage.
-    entry_budget bounds the live slots kept; entries past it (the deepest
-    of the back tiles) are dropped.
+    Duplicate expansion + single (key, payload) unstable sort; the payload
+    is the flat expansion slot and the sorted order is used as-is — no
+    slot re-packing stage.  entry_budget bounds the live slots kept;
+    entries past it (the deepest of the back tiles) are dropped.
+
+    TWO-TIER expansion (base_tiles_per_gaussian = dup_a < dup): pixel-
+    aligned clouds average ~1.5 touched tiles per gaussian, so a flat
+    (g, dup) grid sorts ~90% dead slots.  Tier A gives every gaussian
+    dup_a slots; gaussians touching more tiles are compacted (one cheap
+    g-length sort on a binary key) into a static pool of
+    B = max(64, g * big_pool_factor) rows that each carry the remaining
+    (dup - dup_a) slots.  Sort size drops g*dup -> g*dup_a + B*(dup-dup_a)
+    (2M -> ~720k at the bench shape) with IDENTICAL output: the same
+    (tile, depth-rank) key set is materialized, only from different slot
+    ids.  Gaussians beyond the pool lose their tier-B tiles; those drops
+    are counted in n_overflow (observable as raster/dropped_entries).
     """
     assert max_tiles_per_gaussian >= 1, max_tiles_per_gaussian
     h, w = image_shape
@@ -208,10 +226,13 @@ def bin_gaussians_prefix(
     radius = proj.radius
     g = xy.shape[0]
     dup = max_tiles_per_gaussian
+    dup_a = base_tiles_per_gaussian
+    if dup_a is None or dup_a >= dup:
+        dup_a = dup
+    extra = dup - dup_a
 
     # Depth rank WITHOUT permuting attribute tables: order-preserving
-    # int32 bitcast of positive
-    # depths, inverse-permutation scatter.
+    # int32 bitcast of positive depths, inverse-permutation scatter.
     depth_bits = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
     )
@@ -232,13 +253,6 @@ def bin_gaussians_prefix(
     bh = jnp.where(live_g, y1 - y0, 0)
     n_touched = bw * bh
 
-    d = jnp.arange(dup, dtype=jnp.int32)[None, :]
-    bw_safe = jnp.maximum(bw, 1)[:, None]
-    dy = d // bw_safe
-    dx = d % bw_safe
-    slot_ok = (d < n_touched[:, None]) & live_g[:, None]
-    tile_id = (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx)
-
     row_bits = max((g - 1).bit_length(), 1)
     if row_bits + (n_tiles + 1).bit_length() > 31:
         raise ValueError(
@@ -246,22 +260,56 @@ def bin_gaussians_prefix(
             f"n_tiles={n_tiles}; use the padded path"
         )
     sentinel_key = jnp.int32(n_tiles << row_bits)
-    key = jnp.where(
-        slot_ok, tile_id * jnp.int32(1 << row_bits) + rank[:, None],
-        sentinel_key,
-    ).reshape(-1)
+    bw_safe = jnp.maximum(bw, 1)
 
-    # Payload = flat expansion slot (row-major over (g, dup)): recovers both
-    # the gaussian row (flat // dup) and a globally UNIQUE backward scatter
-    # position per slot.  Single payload keeps the fast TPU sort path.
-    flat_all = jnp.arange(g * dup, dtype=jnp.int32)
+    def tier_keys(rows_sel, d_lo, d_hi, row_live):
+        """(tile<<row_bits | rank) keys for slots d in [d_lo, d_hi)."""
+        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
+        bws = bw_safe[rows_sel][:, None] if rows_sel is not None else bw_safe[:, None]
+        sel = (lambda a: a[rows_sel]) if rows_sel is not None else (lambda a: a)
+        dy = d // bws
+        dx = d % bws
+        ok = (d < sel(n_touched)[:, None]) & row_live[:, None]
+        tid = (sel(y0)[:, None] + dy) * tiles_x + (sel(x0)[:, None] + dx)
+        return jnp.where(
+            ok, tid * jnp.int32(1 << row_bits) + sel(rank)[:, None],
+            sentinel_key,
+        )
+
+    key_a = tier_keys(None, 0, dup_a, live_g)              # (g, dup_a)
+    flat_a = jnp.arange(g * dup_a, dtype=jnp.int32)
+
+    if extra > 0:
+        # Compact "big" rows (touch more than dup_a tiles) to a static
+        # pool: unstable single-key sort on a binary key, big rows first.
+        pool = min(g, max(64, int(g * big_pool_factor)))
+        big = (n_touched > dup_a) & live_g
+        _, big_rows = jax.lax.sort(
+            (jnp.where(big, jnp.int32(0), jnp.int32(1)),
+             jnp.arange(g, dtype=jnp.int32)),
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        pool_rows = big_rows[:pool]                        # (B,)
+        key_b = tier_keys(pool_rows, dup_a, dup, big[pool_rows])  # (B, extra)
+        # Tier-B flat ids ENCODE the source row (g*dup_a + row*extra + d')
+        # so src recovery stays elementwise — no per-slot gather into the
+        # pool table.  Unique across slots: pool rows are distinct.
+        d2 = jnp.arange(extra, dtype=jnp.int32)[None, :]
+        flat_b = g * dup_a + pool_rows[:, None] * extra + d2
+        key = jnp.concatenate([key_a.reshape(-1), key_b.reshape(-1)])
+        flat_all = jnp.concatenate([flat_a, flat_b.reshape(-1)])
+    else:
+        key = key_a.reshape(-1)
+        flat_all = flat_a
+    total_slots = key.shape[0]
+
     key_sorted, flat_sorted = jax.lax.sort(
         (key, flat_all), dimension=0, num_keys=1, is_stable=False
     )
     bound = jnp.arange(n_tiles + 1, dtype=jnp.int32) * jnp.int32(1 << row_bits)
     tile_starts = jnp.searchsorted(key_sorted, bound).astype(jnp.int32)
 
-    budget = min(entry_budget, g * dup)
+    budget = min(entry_budget, total_slots)
     e_pad = _cdiv(budget, chunk) * chunk + chunk  # kernel read overrun room
     starts = tile_starts[:-1]
     diff = tile_starts[1:] - tile_starts[:-1]
@@ -269,9 +317,17 @@ def bin_gaussians_prefix(
     # budget clamps boundary tiles (dropping their deepest entries).
     counts = jnp.clip(jnp.minimum(diff, jnp.int32(budget) - starts), 0)
     n_live = jnp.minimum(tile_starts[-1], jnp.int32(budget))
-    n_overflow = jnp.maximum(tile_starts[-1] - jnp.int32(budget), 0)
+    # Overflow = budget drops + tier-B pool-exhaustion drops (touched tiles
+    # that were never materialized because their gaussian missed the pool).
+    capped_touch = jnp.sum(
+        jnp.where(live_g, jnp.minimum(n_touched, dup), 0)
+    )
+    n_overflow = (
+        jnp.maximum(tile_starts[-1] - jnp.int32(budget), 0)
+        + (capped_touch - tile_starts[-1])
+    )
 
-    if e_pad <= g * dup:
+    if e_pad <= total_slots:
         flat_p = flat_sorted[:e_pad]
     else:
         # Pad with OUT-OF-BOUNDS flat ids: the backward scatter-set uses
@@ -281,13 +337,20 @@ def bin_gaussians_prefix(
         flat_p = jnp.concatenate(
             [
                 flat_sorted,
-                g * dup + jnp.arange(e_pad - g * dup, dtype=jnp.int32),
+                g * dup + jnp.arange(e_pad - total_slots, dtype=jnp.int32),
             ]
         )
-    src = flat_p // jnp.int32(dup)
+    if extra > 0:
+        src = jnp.where(
+            flat_p < g * dup_a,
+            flat_p // jnp.int32(dup_a),
+            (flat_p - g * dup_a) // jnp.int32(max(extra, 1)),
+        )
+    else:
+        src = flat_p // jnp.int32(dup_a)
     return PrefixBins(
         flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup,
-        n_overflow,
+        n_overflow, dup_a,
     )
 
 

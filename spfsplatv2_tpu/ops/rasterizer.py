@@ -53,6 +53,13 @@ class RasterizerConfig:
     # absolute entry_budget wins when both are set.
     entry_budget: int | None = None
     entry_budget_factor: float | None = None
+    # Two-tier duplicate expansion (prefix backend): every gaussian gets
+    # `base_tiles_per_gaussian` slots; gaussians touching more tiles draw
+    # their remaining (max_tiles_per_gaussian - base) slots from a pool of
+    # g * big_pool_factor rows.  Cuts the binning sort ~3x at pixel-aligned
+    # workloads (~1.5 touched tiles/gaussian).  None = single-tier.
+    base_tiles_per_gaussian: int | None = 4
+    big_pool_factor: float = 0.125
 
 
 @struct.dataclass
@@ -104,6 +111,8 @@ def _render_one(
         budget = -(-min(budget, g * cfg.max_tiles_per_gaussian) // 128) * 128
         bins = bin_gaussians_prefix(
             proj, image_shape, cfg.max_tiles_per_gaussian, cfg.chunk, budget,
+            base_tiles_per_gaussian=cfg.base_tiles_per_gaussian,
+            big_pool_factor=cfg.big_pool_factor,
         )
         dropped = bins.n_overflow
         color, depth, alpha = composite_pallas_prefix(

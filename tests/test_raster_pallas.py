@@ -23,30 +23,61 @@ sys.path.insert(0, str(Path(__file__).parent))
 from test_rasterizer import CAMERA_K, assert_images_close, make_scene  # noqa: E402
 
 
-def prefix_composite(proj, hw, bg, chunk=64, dup=32, budget=None):
+def prefix_composite(proj, hw, bg, chunk=64, dup=32, budget=None, base=None,
+                     pool_factor=0.125):
     g = proj.xy.shape[0]
     if budget is None:
         budget = g * dup
-    bins = bin_gaussians_prefix(proj, hw, dup, chunk, budget)
+    bins = bin_gaussians_prefix(proj, hw, dup, chunk, budget,
+                                base_tiles_per_gaussian=base,
+                                big_pool_factor=pool_factor)
     return composite_pallas_prefix(proj, bins, hw, bg, chunk=chunk,
                                    interpret=True)
 
 
-def run_both(n=150, h=48, w=48, seed=0, chunk=64):
+def run_both(n=150, h=48, w=48, seed=0, chunk=64, base=None):
     means, covs, harm, op = make_scene(jax.random.PRNGKey(seed), n=n)
     bg = jnp.asarray([0.15, 0.25, 0.35])
     proj = project_gaussians(means, covs, harm, op, jnp.eye(4), CAMERA_K, (h, w))
     ref = composite_reference(proj, (h, w), bg)
-    pal = prefix_composite(proj, (h, w), bg, chunk=chunk)
+    pal = prefix_composite(proj, (h, w), bg, chunk=chunk, base=base)
     return proj, ref, pal, bg
 
 
 class TestPrefixForward:
-    def test_matches_reference(self):
-        _, ref, pal, _ = run_both()
+    @pytest.mark.parametrize("base", [None, 2])
+    def test_matches_reference(self, base):
+        _, ref, pal, _ = run_both(base=base)
         assert_images_close(pal[0], ref[0], atol=3e-5)   # color
         assert_images_close(pal[1], ref[1], atol=3e-4, hard_atol=2e-2)  # depth
         assert_images_close(pal[2], ref[2], atol=3e-5)   # alpha
+
+    def test_two_tier_equals_single_tier_exactly(self):
+        # Two-tier expansion materializes the SAME (tile, depth-rank) key
+        # set from different slot ids -> bit-identical images when the
+        # pool holds every big gaussian.
+        proj, _, pal1, bg = run_both(n=120, seed=7)
+        pal2 = prefix_composite(proj, (48, 48), bg, base=2, pool_factor=1.0)
+        for a, b in zip(pal1, pal2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pool_exhaustion_counts_overflow(self):
+        # A pool far smaller than the number of big gaussians must surface
+        # the unmaterialized tiles in n_overflow (never silently).
+        means, covs, harm, op = make_scene(jax.random.PRNGKey(9), n=150)
+        covs = covs * 25.0  # inflate footprints so most gaussians are big
+        proj = project_gaussians(means, covs, harm, op, jnp.eye(4), CAMERA_K,
+                                 (48, 48))
+        dup, chunk = 32, 64
+        full = bin_gaussians_prefix(proj, (48, 48), dup, chunk, 150 * dup,
+                                    base_tiles_per_gaussian=2,
+                                    big_pool_factor=1.0)
+        tiny = bin_gaussians_prefix(proj, (48, 48), dup, chunk, 150 * dup,
+                                    base_tiles_per_gaussian=2,
+                                    big_pool_factor=0.0)  # pool=min(g,64)
+        lost = int(full.n_live) - int(tiny.n_live)
+        assert lost > 0, "test scene must exhaust the pool"
+        assert int(tiny.n_overflow) - int(full.n_overflow) == lost
 
     def test_empty_tiles(self):
         # Scene confined to one corner: most tiles have zero entries.
@@ -63,7 +94,8 @@ class TestPrefixForward:
 
 
 class TestPrefixBackward:
-    def test_grads_match_oracle(self):
+    @pytest.mark.parametrize("base", [None, 2])
+    def test_grads_match_oracle(self, base):
         h = w = 48
         means, covs, harm, op = make_scene(jax.random.PRNGKey(3), n=100, d_sh=4)
         bg = jnp.zeros((3,))
@@ -74,7 +106,8 @@ class TestPrefixBackward:
             if backend == "ref":
                 col, dep, alp = composite_reference(proj, (h, w), bg)
             else:
-                col, dep, alp = prefix_composite(proj, (h, w), bg, chunk=64)
+                col, dep, alp = prefix_composite(proj, (h, w), bg, chunk=64,
+                                                 base=base)
             return (
                 jnp.mean((col - target) ** 2)
                 + 0.01 * jnp.mean(dep)
