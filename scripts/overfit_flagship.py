@@ -57,7 +57,10 @@ def main() -> None:
         # resumability without paying it 12 times.
         "checkpointing.every_n_train_steps=1000",
         "checkpointing.resume=true",
-        "output_dir=/tmp/overfit_flagship_out2",
+        # out3: out/out2 hold the pre-NaN-guard collapsed state (pts3d
+        # runaway -> reproj NaN grads -> every step skipped); resuming them
+        # would restart inside the collapse.
+        "output_dir=/tmp/overfit_flagship_out3",
         "train.print_log_every_n_steps=25",
     ])
 

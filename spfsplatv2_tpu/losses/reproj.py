@@ -46,13 +46,24 @@ def reproj_loss(
     )
     pred_px = se3.project_to_cam(pts3d.reshape(b, h * w, 3), c2w, k_px)
     pred_px = pred_px.reshape(b, h, w, 2)
+    # Runaway-point guard: points near/behind the camera plane project to
+    # +-inf pixels (project_to_cam clamps z at 1e-6), and inf/inf in the
+    # norm's VJP poisons the WHOLE batch gradient with NaN even though the
+    # hard clamp zeroes these pixels' loss.  Clipping keeps err finite and
+    # routes exactly-zero gradient to clipped pixels (they are far past
+    # hard_clamp anyway).
+    pred_px = jnp.clip(pred_px, -1e7, 1e7)
 
     xs = jnp.arange(w, dtype=pts3d.dtype)
     ys = jnp.arange(h, dtype=pts3d.dtype)
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
     target_px = jnp.stack([gx, gy], axis=-1)
 
-    err = jnp.linalg.norm(pred_px - target_px[None], axis=-1)  # (b, h, w)
+    # eps inside the sqrt: a pixel with EXACTLY zero error otherwise hits
+    # d(sqrt)/dx = x/(2*0) = NaN in the backward.
+    err = jnp.sqrt(
+        jnp.sum((pred_px - target_px[None]) ** 2, axis=-1) + 1e-12
+    )  # (b, h, w)
     valid = err <= cfg.hard_clamp
     n_valid = jnp.maximum(jnp.sum(valid), 1)
 

@@ -148,6 +148,7 @@ class SPFSplatV2Encoder(nn.Module):
             lambda s: DPTHead(
                 out_channels=3, feature_dim=cfg.dpt_feature_dim,
                 last_dim=cfg.dpt_last_dim, layer_dims=cfg.dpt_layer_dims,
+                out_bias=(0.0, 0.0, 1.2),  # from-scratch: points start ~z=2.3
                 name=f"downstream_head{s}",
             ),
             ctx_feat, grid,

@@ -112,6 +112,14 @@ class DPTHead(nn.Module):
     feature_dim: int = 256
     last_dim: int = 128
     layer_dims: Sequence[int] = (96, 192, 384, 768)
+    # Calibrated final-layer init for FROM-SCRATCH training (loading a
+    # converted MASt3R checkpoint overwrites it, so parity is untouched):
+    # flax's default init on post-relu features emits raw pointmap norms
+    # ~O(10) -> expm1 puts every point at ~1e8, outside any frustum, with
+    # zero photometric gradient.  A small kernel + bias (0, 0, 1.2) starts
+    # points near (0, 0, expm1(1.2) ~ 2.3) — in front of the camera,
+    # renderable, trainable.
+    out_bias: Sequence[float] | None = None
 
     @nn.compact
     def __call__(self, hooked_tokens, grid):
@@ -125,7 +133,25 @@ class DPTHead(nn.Module):
         )
         x = nn.Conv(self.last_dim, (3, 3), padding=1, name="head_conv2")(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_channels, (1, 1), name="head_out")(x)
+        kwargs = {}
+        if self.out_bias is not None:
+            bias = jnp.asarray(self.out_bias, jnp.float32)
+            kwargs = dict(
+                # 0.1x lecun: raw norms ~O(1) around the bias (vs ~18 at
+                # default scale -> points at 1e8) while upstream gradient
+                # flow only shrinks 10x (an absolute-scale init like
+                # normal(1e-3) throttles the DPT core's learning ~250x;
+                # measured: tiny-overfit loss froze).
+                kernel_init=nn.initializers.variance_scaling(
+                    0.01, "fan_in", "truncated_normal"
+                ),
+                bias_init=lambda key, shape, dtype=jnp.float32: (
+                    jnp.broadcast_to(bias, shape).astype(dtype)
+                ),
+            )
+        return nn.Conv(
+            self.out_channels, (1, 1), name="head_out", **kwargs
+        )(x)
 
 
 class DPTGSHead(nn.Module):
