@@ -31,7 +31,6 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
     from spfsplatv2_tpu.training.optim import OptimizerConfig, make_optimizer
     from spfsplatv2_tpu.training.step import (
         LossConfig,
-        init_train_state,
         make_train_step,
     )
 
@@ -61,12 +60,33 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
         "target": views(slice(v_cxt, v_cxt + v_tgt), 2),
     }
 
+    # Init the 608M params on the HOST CPU and ship them once: eager init
+    # over the axon tunnel is one remote call per op (~10+ minutes and a
+    # large window for transient tunnel faults — the round-2 bench died
+    # here); host init + one 2.4 GB transfer takes ~1-2 min.
     t0 = time.perf_counter()
-    params = encoder.init(
-        jax.random.PRNGKey(2),
-        batch["context"]["image"][:1], batch["context"]["intrinsics"][:1],
-        batch["target"]["image"][:1], batch["target"]["intrinsics"][:1],
-    )
+    init_ctx = None
+    if jax.default_backend() == "tpu":
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+            init_ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:  # noqa: BLE001 - fall back to on-device init
+            init_ctx = None
+
+    def do_init():
+        return encoder.init(
+            jax.random.PRNGKey(2),
+            batch["context"]["image"][:1], batch["context"]["intrinsics"][:1],
+            batch["target"]["image"][:1], batch["target"]["intrinsics"][:1],
+        )
+
+    if init_ctx is not None:
+        with init_ctx:
+            params = do_init()
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = do_init()
+    jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"init: {time.perf_counter()-t0:.1f}s, {n_params/1e6:.0f}M params",
           file=sys.stderr, flush=True)
@@ -75,7 +95,12 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
     if use_lpips:
         from spfsplatv2_tpu.losses.lpips import init_lpips_params
 
-        lpips_params = init_lpips_params()
+        if init_ctx is not None:
+            with init_ctx:
+                lpips_params = init_lpips_params()
+            lpips_params = jax.device_put(lpips_params, jax.devices()[0])
+        else:
+            lpips_params = init_lpips_params()
 
     optimizer = make_optimizer(OptimizerConfig(), params)
     step_fn = make_train_step(
@@ -83,7 +108,14 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
         LossConfig(use_lpips=use_lpips), lpips_params=lpips_params,
         donate=True,
     )
-    state = init_train_state(encoder, optimizer, params)
+    # jit the optimizer-state init: eager optax.init at 608M is hundreds
+    # of per-op remote calls over the tunnel.
+    from spfsplatv2_tpu.training.step import TrainState
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=jax.jit(optimizer.init)(params),
+    )
 
     t0 = time.perf_counter()
     lowered = step_fn.lower(state, batch)
