@@ -68,7 +68,9 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
     init_ctx = None
     if jax.default_backend() == "tpu":
         try:
-            jax.config.update("jax_platforms", "axon,cpu")
+            plats = jax.config.jax_platforms or "tpu"
+            if "cpu" not in plats.split(","):
+                jax.config.update("jax_platforms", f"{plats},cpu")
             init_ctx = jax.default_device(jax.devices("cpu")[0])
         except Exception:  # noqa: BLE001 - fall back to on-device init
             init_ctx = None

@@ -145,13 +145,33 @@ def run_training(
     )
     first = next(batches)
 
-    params = encoder.init(
-        jax.random.PRNGKey(cfg.trainer.seed),
-        jnp.asarray(first["context"]["image"]),
-        jnp.asarray(first["context"]["intrinsics"]),
-        jnp.asarray(first["target"]["image"]),
-        jnp.asarray(first["target"]["intrinsics"]),
-    )
+    # Init on the host CPU when driving a remote TPU: eager init at
+    # flagship scale is one RPC per op over the tunnel (~10+ min); host
+    # init + one device transfer (via replicate() below) takes ~1-2 min.
+    init_ctx = None
+    if jax.default_backend() == "tpu":
+        try:
+            plats = jax.config.jax_platforms or "tpu"
+            if "cpu" not in plats.split(","):
+                jax.config.update("jax_platforms", f"{plats},cpu")
+            init_ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:  # noqa: BLE001 - on-device init still works
+            init_ctx = None
+
+    def init_params():
+        return encoder.init(
+            jax.random.PRNGKey(cfg.trainer.seed),
+            jnp.asarray(first["context"]["image"]),
+            jnp.asarray(first["context"]["intrinsics"]),
+            jnp.asarray(first["target"]["image"]),
+            jnp.asarray(first["target"]["intrinsics"]),
+        )
+
+    if init_ctx is not None:
+        with init_ctx:
+            params = init_params()
+    else:
+        params = init_params()
     if cfg.checkpointing.pretrained_weights:
         from spfsplatv2_tpu.utils.ckpt_convert import (
             convert_spfsplat_checkpoint,
