@@ -51,6 +51,10 @@ def main() -> None:
         # steps) while the same pipeline with full backbone lr overfits.
         "optimizer.backbone_lr_multiplier=1.0",
         "optimizer.warm_up_steps=100",
+        # From-scratch grads spike past the fine-tune skip threshold (5)
+        # in the first steps; the 0.5 clip already bounds the update, and
+        # a skip-everything freeze is worse than any clipped step.
+        "optimizer.max_grad_skip=50.0",
         f"optimizer.max_steps={max_steps}",
         "image_shape=[256,256]",
         # 608M-param orbax saves cost ~6 min over the tunnel each; keep

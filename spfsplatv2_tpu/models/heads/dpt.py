@@ -164,6 +164,12 @@ class DPTGSHead(nn.Module):
     out_channels: int
     feature_dim: int = 256
     layer_dims: Sequence[int] = (96, 192, 384, 768)
+    # From-scratch: 0.1x-lecun final init puts raw gaussian params near 0
+    # -> gray colors (the SH +0.5 convention), sigmoid opacity 0.5, and
+    # ~1.6 px footprints (the EWA low-pass floor) — a renderable, calm
+    # start (default init saturates colors; measured mse 0.40 and grads
+    # ~25 at 608M).  Converted checkpoints overwrite it.
+    out_kernel_scale: float | None = 0.01
 
     @nn.compact
     def __call__(self, hooked_tokens, grid, image):
@@ -184,4 +190,13 @@ class DPTGSHead(nn.Module):
             self.feature_dim, (3, 3), padding=1, use_bias=False, name="head_conv"
         )(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_channels, (1, 1), name="head_out")(x)
+        kwargs = {}
+        if self.out_kernel_scale is not None:
+            kwargs = dict(
+                kernel_init=nn.initializers.variance_scaling(
+                    self.out_kernel_scale, "fan_in", "truncated_normal"
+                )
+            )
+        return nn.Conv(
+            self.out_channels, (1, 1), name="head_out", **kwargs
+        )(x)
