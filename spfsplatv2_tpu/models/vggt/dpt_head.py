@@ -181,7 +181,19 @@ class VGGTDPTHead(nn.Module):
 
         out = nn.Conv(32, (3, 3), padding=1, name="output_conv2_0")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.output_dim, (1, 1), name="output_conv2_2")(out)
+        # From-scratch: 0.1x-lecun final init for the GS variant (gray
+        # colors / 0.5 opacity start; see heads/dpt.py DPTGSHead) — the
+        # VGGT-converted checkpoint overwrites it.
+        kwargs = {}
+        if self.gs_variant:
+            kwargs = dict(
+                kernel_init=nn.initializers.variance_scaling(
+                    0.01, "fan_in", "truncated_normal"
+                )
+            )
+        out = nn.Conv(
+            self.output_dim, (1, 1), name="output_conv2_2", **kwargs
+        )(out)
         out = out.reshape(b, v, h_out, w_out, self.output_dim)
 
         if self.gs_variant:
