@@ -67,27 +67,33 @@ def main():
     )(means, covs, harmonics, opacities)
     jax.block_until_ready(proj)
 
-    for base, pool in ((None, 0.125), (4, 0.125), (2, 0.25)):
+    for base, pool, dk in (
+        (None, 0.125, "rank"), (4, 0.125, "rank"), (2, 0.25, "rank"),
+        (4, 0.125, "quantized"), (2, 0.25, "quantized"),
+    ):
         binf = jax.jit(
-            lambda p: bin_gaussians_prefix(
+            lambda p, base=base, pool=pool, dk=dk: bin_gaussians_prefix(
                 p, (H, W), DUP, CHUNK, BUDGET,
                 base_tiles_per_gaussian=base, big_pool_factor=pool,
+                depth_key=dk,
             )
         )
         bins = binf(proj)
         jax.block_until_ready(bins)
         ms = timeit(binf, proj)
-        print(f"bin[base={base} pool={pool}]: {ms:.2f} ms  "
+        print(f"bin[base={base} pool={pool} {dk}]: {ms:.2f} ms  "
               f"n_live={int(bins.n_live)} overflow={int(bins.n_overflow)} "
               f"e_pad={bins.e_pad}", flush=True)
 
     # End-to-end single camera fwd / fwd+bwd through the public API.
-    for base in (None, 4, 2):
+    for base, dk in ((None, "rank"), (4, "rank"), (4, "quantized"),
+                     (2, "quantized")):
         cfg = RasterizerConfig(
             backend="pallas", scale_invariant=False, chunk=CHUNK,
             max_tiles_per_gaussian=DUP, entry_budget=BUDGET,
             base_tiles_per_gaussian=base,
             big_pool_factor=0.25 if base == 2 else 0.125,
+            depth_key=dk,
         )
 
         def fwd(m, c, hh, o):
@@ -108,7 +114,7 @@ def main():
         fb = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
         ms_f = timeit(f, means, covs, harmonics, opacities)
         ms_fb = timeit(fb, means, covs, harmonics, opacities, c2w)
-        print(f"e2e[base={base}]: fwd {ms_f:.2f} ms   fwd+bwd {ms_fb:.2f} ms "
+        print(f"e2e[base={base} {dk}]: fwd {ms_f:.2f} ms   fwd+bwd {ms_fb:.2f} ms "
               f"({H * W / ms_fb / 1e3:.2f} Mpix/s)", flush=True)
 
 

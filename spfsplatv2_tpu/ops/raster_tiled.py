@@ -196,6 +196,7 @@ def bin_gaussians_prefix(
     entry_budget: int,
     base_tiles_per_gaussian: int | None = None,
     big_pool_factor: float = 0.125,
+    depth_key: str = "rank",
 ) -> PrefixBins:
     """Prefix-layout binning (non-differentiable).  See PrefixBins.
 
@@ -231,17 +232,30 @@ def bin_gaussians_prefix(
         dup_a = dup
     extra = dup - dup_a
 
-    # Depth rank WITHOUT permuting attribute tables: order-preserving
-    # int32 bitcast of positive depths, inverse-permutation scatter.
+    live_g = (radius > 0) & jnp.isfinite(depth)
+
+    # Depth key for within-tile front-to-back ordering.  "rank": exact
+    # dense rank via double argsort (the second argsort IS the inverse
+    # permutation — a sort beats a g-length scatter, see PERFORMANCE.md
+    # rule 2).  "quantized": the top key bits of the f32 depth bitcast
+    # directly — no argsort at all; ties (same top ~22 bits, i.e. depths
+    # equal to ~1e-4 relative) compose in arbitrary order.
     depth_bits = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
     )
-    order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
-    rank = jnp.zeros((g,), jnp.int32).at[order].set(
-        jnp.arange(g, dtype=jnp.int32), unique_indices=True
-    )
-
-    live_g = (radius > 0) & jnp.isfinite(depth)
+    row_bits_needed = max((g - 1).bit_length(), 1)
+    tile_bits = (n_tiles + 1).bit_length()
+    if depth_key == "quantized":
+        row_bits = 31 - tile_bits
+        rank = jnp.right_shift(
+            jnp.maximum(depth_bits, 0), jnp.int32(31 - row_bits)
+        )
+    elif depth_key == "rank":
+        row_bits = row_bits_needed
+        order = jnp.argsort(depth_bits, stable=False).astype(jnp.int32)
+        rank = jnp.argsort(order, stable=False).astype(jnp.int32)
+    else:
+        raise ValueError(f"bad depth_key {depth_key!r}")
 
     rx = proj.rx.astype(xy.dtype)
     ry = proj.ry.astype(xy.dtype)
@@ -253,11 +267,10 @@ def bin_gaussians_prefix(
     bh = jnp.where(live_g, y1 - y0, 0)
     n_touched = bw * bh
 
-    row_bits = max((g - 1).bit_length(), 1)
-    if row_bits + (n_tiles + 1).bit_length() > 31:
+    if row_bits + tile_bits > 31:
         raise ValueError(
             f"prefix binning key overflows int32 for g={g}, "
-            f"n_tiles={n_tiles}; use the padded path"
+            f"n_tiles={n_tiles}; use depth_key='quantized'"
         )
     sentinel_key = jnp.int32(n_tiles << row_bits)
     bw_safe = jnp.maximum(bw, 1)

@@ -60,6 +60,11 @@ class RasterizerConfig:
     # workloads (~1.5 touched tiles/gaussian).  None = single-tier.
     base_tiles_per_gaussian: int | None = 4
     big_pool_factor: float = 0.125
+    # "rank" = exact within-tile depth order (double argsort); "quantized"
+    # = top f32 depth bits straight into the sort key (no argsort; ties at
+    # ~1e-4 relative depth compose in arbitrary order — visually and
+    # numerically negligible for real scenes).
+    depth_key: str = "rank"
 
 
 @struct.dataclass
@@ -113,6 +118,7 @@ def _render_one(
             proj, image_shape, cfg.max_tiles_per_gaussian, cfg.chunk, budget,
             base_tiles_per_gaussian=cfg.base_tiles_per_gaussian,
             big_pool_factor=cfg.big_pool_factor,
+            depth_key=cfg.depth_key,
         )
         dropped = bins.n_overflow
         color, depth, alpha = composite_pallas_prefix(

@@ -24,13 +24,14 @@ from test_rasterizer import CAMERA_K, assert_images_close, make_scene  # noqa: E
 
 
 def prefix_composite(proj, hw, bg, chunk=64, dup=32, budget=None, base=None,
-                     pool_factor=0.125):
+                     pool_factor=0.125, depth_key="rank"):
     g = proj.xy.shape[0]
     if budget is None:
         budget = g * dup
     bins = bin_gaussians_prefix(proj, hw, dup, chunk, budget,
                                 base_tiles_per_gaussian=base,
-                                big_pool_factor=pool_factor)
+                                big_pool_factor=pool_factor,
+                                depth_key=depth_key)
     return composite_pallas_prefix(proj, bins, hw, bg, chunk=chunk,
                                    interpret=True)
 
@@ -60,6 +61,15 @@ class TestPrefixForward:
         pal2 = prefix_composite(proj, (48, 48), bg, base=2, pool_factor=1.0)
         for a, b in zip(pal1, pal2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_quantized_depth_key_matches_reference(self):
+        # 22-bit quantized depth keys preserve the compositing order up to
+        # ~1e-4-relative-depth ties; on a random scene the result matches
+        # the exact-rank path to float tolerance.
+        proj, ref, _, bg = run_both(n=150, seed=11)
+        pal = prefix_composite(proj, (48, 48), bg, depth_key="quantized")
+        assert_images_close(pal[0], ref[0], atol=3e-5)
+        assert_images_close(pal[2], ref[2], atol=3e-5)
 
     def test_pool_exhaustion_counts_overflow(self):
         # A pool far smaller than the number of big gaussians must surface
