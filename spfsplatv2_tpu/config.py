@@ -80,6 +80,31 @@ class TestFlags:
 
 
 @dataclass(frozen=True)
+class DatasetEntry:
+    """One dataset of a (possibly heterogeneous) multi-dataset recipe.
+
+    Reference trains on several datasets simultaneously, each with its own
+    DatasetCfg + view sampler (reference: src/dataset/__init__.py:12-17,
+    one DataLoader per dataset whose batches are concatenated every step,
+    src/model/model_wrapper.py:190-205).  Each entry here carries a full
+    `DatasetConfig` (own roots/shapes/filters) and its own sampler
+    selection, mirroring e.g. config/experiment/spfsplatv2/re10k_dl3dv.yaml
+    where re10k samples gaps in [45, 150] and dl3dv in [8, 10].
+    """
+
+    name: str = "re10k"
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    view_sampler_name: str = "bounded"
+    view_sampler: BoundedSamplerConfig = field(default_factory=BoundedSamplerConfig)
+    evaluation_sampler: EvaluationSamplerConfig = field(
+        default_factory=EvaluationSamplerConfig
+    )
+    arbitrary_sampler: ArbitrarySamplerConfig = field(
+        default_factory=ArbitrarySamplerConfig
+    )
+
+
+@dataclass(frozen=True)
 class RootConfig:
     mode: str = "train"
     # Variant-discriminated encoder selection (reference
@@ -98,6 +123,15 @@ class RootConfig:
     arbitrary_sampler: ArbitrarySamplerConfig = field(
         default_factory=ArbitrarySamplerConfig
     )
+    # Heterogeneous multi-dataset training: when non-empty, OVERRIDES the
+    # single `dataset`/sampler fields above.  One batch of
+    # `trainer.batch_size` examples is drawn from EACH entry per step and
+    # the batches are concatenated (reference model_wrapper.py:190-205), so
+    # the effective step batch is batch_size * len(datasets) — matching the
+    # reference's per-DataLoader batch_size semantics.  Entries may differ
+    # in roots, shapes, filters, and view samplers; concatenation requires
+    # equal input_image_shape and view counts (asserted in the loop).
+    datasets: tuple[DatasetEntry, ...] = ()
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
@@ -108,18 +142,47 @@ class RootConfig:
     output_dir: str = "outputs"
 
 
-def make_sampler_from_config(cfg: "RootConfig", stage: str):
-    """Build the configured view sampler (reference get_view_sampler)."""
+def dataset_entries(cfg: "RootConfig") -> tuple[DatasetEntry, ...]:
+    """The recipe's datasets as uniform entries.
+
+    `datasets` (multi-dataset recipes) wins; otherwise the single
+    `dataset` + top-level sampler fields are wrapped into one entry.
+    """
+    if cfg.datasets:
+        return cfg.datasets
+    return (
+        DatasetEntry(
+            name="default",
+            dataset=cfg.dataset,
+            view_sampler_name=cfg.view_sampler_name,
+            view_sampler=cfg.view_sampler,
+            evaluation_sampler=cfg.evaluation_sampler,
+            arbitrary_sampler=cfg.arbitrary_sampler,
+        ),
+    )
+
+
+def make_sampler_for_entry(entry: DatasetEntry, stage: str):
+    """Build one dataset entry's configured view sampler."""
     from spfsplatv2_tpu.data.view_samplers import make_view_sampler
 
-    kind = cfg.view_sampler_name
+    kind = entry.view_sampler_name
     sampler_cfg = {
-        "bounded": cfg.view_sampler,
-        "evaluation": cfg.evaluation_sampler,
-        "arbitrary": cfg.arbitrary_sampler,
+        "bounded": entry.view_sampler,
+        "evaluation": entry.evaluation_sampler,
+        "arbitrary": entry.arbitrary_sampler,
         "all": None,
     }[kind]
     return make_view_sampler(kind, sampler_cfg, stage=stage)
+
+
+def make_sampler_from_config(cfg: "RootConfig", stage: str):
+    """Build the configured view sampler (reference get_view_sampler).
+
+    Multi-dataset recipes: uses the FIRST entry (callers that need all
+    samplers should iterate `dataset_entries`).
+    """
+    return make_sampler_for_entry(dataset_entries(cfg)[0], stage)
 
 
 def _coerce(value: Any, typ: Any) -> Any:
@@ -213,6 +276,14 @@ def load_config(
         path, value = _parse_override(override)
         node = data
         for key in path[:-1]:
-            node = node.setdefault(key, {})
-        node[path[-1]] = value
+            # List nodes (e.g. `datasets.0.dataset.roots=[...]`) are
+            # addressed by integer index.
+            if isinstance(node, list):
+                node = node[int(key)]
+            else:
+                node = node.setdefault(key, {})
+        if isinstance(node, list):
+            node[int(path[-1])] = value
+        else:
+            node[path[-1]] = value
     return _from_dict(RootConfig, data)

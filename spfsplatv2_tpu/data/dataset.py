@@ -249,3 +249,24 @@ def collate(examples: list[dict]) -> dict:
             for k in examples[0][side]
         }
     return batch
+
+
+def concat_batches(batches) -> dict:
+    """Concatenate collated batches along the batch axis.
+
+    Multi-dataset step assembly (reference model_wrapper.py:190-205: the
+    per-dataset DataLoader batches are `torch.cat`-ed every training step).
+    Only keys present in EVERY batch survive (e.g. `overlap` exists only
+    for evaluation-sampler datasets).
+    """
+    batches = list(batches)
+    out: dict = {"scene": [s for b in batches for s in b["scene"]]}
+    for side in ("context", "target"):
+        shared = set(batches[0][side])
+        for b in batches[1:]:
+            shared &= set(b[side])
+        out[side] = {
+            k: np.concatenate([b[side][k] for b in batches])
+            for k in sorted(shared)
+        }
+    return out

@@ -24,8 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from spfsplatv2_tpu.config import RootConfig
-from spfsplatv2_tpu.data.dataset import ChunkedSceneDataset, collate
-from spfsplatv2_tpu.data.view_samplers import BoundedViewSampler
+from spfsplatv2_tpu.data.dataset import (
+    ChunkedSceneDataset,
+    collate,
+    concat_batches,
+)
 from spfsplatv2_tpu.models import get_encoder
 from spfsplatv2_tpu.parallel import make_mesh, replicate, shard_batch
 from spfsplatv2_tpu.training.optim import FreezeConfig, make_optimizer
@@ -128,21 +131,44 @@ def run_training(
     log_fn: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     """Train; returns the final TrainState-as-pytree + last metrics."""
+    from spfsplatv2_tpu.config import dataset_entries, make_sampler_for_entry
+
     encoder = get_encoder(cfg.encoder)
-    sampler = BoundedViewSampler(cfg.view_sampler, stage="train")
-    dataset = ChunkedSceneDataset(
-        cfg.dataset,
-        sampler,
-        stage="train",
-        shard_id=jax.process_index(),
-        num_shards=jax.process_count(),
-        seed=cfg.trainer.seed,
-    )
+    entries = dataset_entries(cfg)
+    train_datasets = [
+        ChunkedSceneDataset(
+            entry.dataset,
+            make_sampler_for_entry(entry, "train"),
+            stage="train",
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+            seed=cfg.trainer.seed + 1000 * i,
+        )
+        for i, entry in enumerate(entries)
+    ]
 
     state_holder = {"step": 0}
-    batches = batch_iterator(
-        dataset, cfg.trainer.batch_size, lambda: state_holder["step"]
-    )
+    per_dataset = [
+        batch_iterator(ds, cfg.trainer.batch_size, lambda: state_holder["step"])
+        for ds in train_datasets
+    ]
+    if len(per_dataset) == 1:
+        batches = per_dataset[0]
+    else:
+        # Heterogeneous multi-dataset training (reference
+        # model_wrapper.py:190-205): one batch per dataset per step,
+        # concatenated along the batch axis — each dataset keeps its own
+        # view sampler / filters; shapes must agree to concatenate.
+        def concat_iter():
+            for parts in zip(*per_dataset):
+                shapes = {p["context"]["image"].shape[1:] for p in parts}
+                assert len(shapes) == 1, (
+                    f"multi-dataset batches must share view counts and "
+                    f"image shapes to concatenate, got {shapes}"
+                )
+                yield concat_batches(parts)
+
+        batches = concat_iter()
     first = next(batches)
 
     # Init on the host CPU when driving a remote TPU: eager init at
@@ -260,8 +286,8 @@ def run_training(
     if cfg.trainer.val_check_interval and jax.process_index() == 0:
         try:
             val_ds = ChunkedSceneDataset(
-                cfg.dataset,
-                BoundedViewSampler(cfg.view_sampler, stage="val"),
+                entries[0].dataset,
+                make_sampler_for_entry(entries[0], "val"),
                 stage="val",
                 seed=cfg.trainer.seed,
             )
