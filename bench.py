@@ -13,16 +13,20 @@ at this workload (~1-2 ms fwd + ~4 ms bwd per 65k-pixel view of 131k
 gaussians => ~25 Mpix/s); recalibrated when a measured reference number
 becomes available.
 
-Robustness (the round-2 capture regressed purely from harness conditions —
-a degraded tunnel: init 509 s, remote-compile HTTP 500, and host CPU load,
-which inflates "device" time 10-50x, see PERFORMANCE.md):
-  * every stage retries on transient tunnel errors with backoff;
-  * the timing loop runs multiple passes and keeps the BEST (contention
-    and tunnel stalls only ever inflate time, never deflate it);
-  * extra passes are added when conditions look anomalous (slow init,
-    high host load, or a result far below the last recorded round);
-  * the headline JSON is printed after the FIRST pass and re-printed
-    (improved) after each later one, so a timeout can never erase it.
+Measurement design (PERFORMANCE.md "trusted regimes", VERDICT r3 weak #1):
+  * DEVICE-SIDE timing loop: the N timing iterations run inside ONE jitted
+    `lax.scan` over freshly perturbed inputs, with a checksum carried and
+    fetched to the host.  One RPC per pass — per-dispatch tunnel latency
+    (the round-3 2x driver-vs-serial gap) cannot contaminate the number.
+    Perturbed inputs + the checksum fetch defeat the tunnel's
+    identical-execution caching.
+  * PERSISTENT COMPILATION CACHE at .xla_cache (repo-relative): the builder
+    session seeds it; the driver's run compiles from cache in seconds
+    instead of dying in remote_compile (the round-2/3 train-bench killer).
+  * TOTAL TIME BUDGET: every stage checks the deadline; whatever is
+    measured before the driver's timeout is already printed.
+  * The emitted JSON echoes the exact RasterizerConfig and a per-stage
+    split (binning / fwd / fwd+bwd) so regressions are self-diagnosing.
 """
 
 from __future__ import annotations
@@ -32,15 +36,28 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# Must be set before the first compile.  Repo-relative so the driver's
+# run (same workspace) hits the cache the builder seeded.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp  # noqa: E402
 
 REFERENCE_MPIX_S_ESTIMATE = 25.0
-# Driver-recorded previous-round headline: a fresh measurement far below
-# this under anomalous conditions triggers extra passes (BENCH_r01 = 2.01;
-# PERFORMANCE.md round-2 serial measurement = 3.1).
-PREV_ROUND_MPIX_S = 2.01
-TRANSIENT_RETRIES = 4
-RETRY_SLEEP_S = 45.0
+TRANSIENT_RETRIES = 3
+RETRY_SLEEP_S = 20.0
+# Global wall-clock budget (s).  The driver's harness kills the bench at
+# its own timeout; budget low enough that the train bench is skipped (not
+# killed mid-flight) when compiles ran long.  Override: BENCH_TIME_BUDGET.
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET", 1500.0))
+_T_START = time.perf_counter()
+
+
+def _left() -> float:
+    return TIME_BUDGET_S - (time.perf_counter() - _T_START)
 
 
 def _host_load() -> float:
@@ -56,7 +73,7 @@ def _with_retries(fn, what: str):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 - tunnel faults surface as varied types
-            if attempt == TRANSIENT_RETRIES - 1:
+            if attempt == TRANSIENT_RETRIES - 1 or _left() < RETRY_SLEEP_S:
                 raise
             print(
                 f"# {what}: attempt {attempt + 1} failed "
@@ -76,6 +93,7 @@ def main() -> None:
     views = 2           # context views contributing Gaussians
     n_targets = 4       # rendered target views per scene per step
     g = views * h * w   # pixel-aligned Gaussians
+    iters = 20          # device-side timing iterations per pass
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 8)
@@ -116,62 +134,154 @@ def main() -> None:
         )
         return jnp.mean((out.color - target) ** 2)
 
-    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
 
-    t0 = time.perf_counter()
+    def scanned(body):
+        """Jit a timing loop: `iters` executions of body(...) inside one
+        dispatch, novel inputs per iteration (tiny means perturbation: same
+        binning statistics, different numerics), checksum carried out.
 
-    def warmup():
-        jax.block_until_ready(grad_fn(means, covs, harmonics, opacities, c2w))
+        All large arrays are jit ARGUMENTS — embedding them as closure
+        constants (esp. the 37 MB SH tensor) SIGSEGVs the remote compile
+        helper (round-3 finding, .claude/skills/verify/SKILL.md).
+        """
 
-    _with_retries(warmup, "warmup/compile")
-    init_s = time.perf_counter() - t0
+        @jax.jit
+        def run(seed, means, covs, harmonics, opacities, c2w):
+            def step(acc, key):
+                m = means + 1e-6 * jax.random.normal(
+                    key, means.shape, means.dtype
+                )
+                return acc + body(m, covs, harmonics, opacities, c2w), None
 
-    def one_pass() -> float:
-        iters = 20
-        start = time.perf_counter()
-        for _ in range(iters):
-            grads = grad_fn(means, covs, harmonics, opacities, c2w)
-        jax.block_until_ready(grads)
-        elapsed = time.perf_counter() - start
-        return iters * n_targets * h * w / elapsed / 1e6
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros((), jnp.float32),
+                jax.random.split(seed, iters),
+            )
+            return acc
 
-    def emit(mpix_s: float, passes: int) -> dict:
-        result = {
-            "metric": "rasterizer_fwd_bwd_throughput",
-            "value": round(mpix_s, 2),
-            "unit": "Mpix/s",
-            "vs_baseline": round(mpix_s / REFERENCE_MPIX_S_ESTIMATE, 3),
-            "passes": passes,
-            "init_s": round(init_s, 1),
-            "host_load": round(_host_load(), 2),
-        }
-        print(json.dumps(result), flush=True)
-        return result
+        return run
 
-    best = _with_retries(one_pass, "measurement pass 1")
-    result = emit(best, 1)  # headline survives any later timeout
-    max_passes = 4
-    for i in range(2, max_passes + 1):
-        anomalous = (
-            init_s > 100.0
-            or _host_load() > 0.5
-            or best < 0.8 * PREV_ROUND_MPIX_S
+    # Stage programs.  Import here so a stage-level failure can't kill the
+    # headline (grad_fn) path.
+    from spfsplatv2_tpu.ops.raster_common import project_gaussians
+    from spfsplatv2_tpu.ops.raster_tiled import bin_gaussians_prefix
+
+    def stage_binning(m, covs, harmonics, opacities, c2w):
+        proj = project_gaussians(
+            m, covs, harmonics, opacities, c2w[0], intr[0], (h, w),
+            sh_degree=None, use_sh=True,
         )
-        if i > 2 and not anomalous:
+        bins = bin_gaussians_prefix(
+            proj, (h, w), cfg.max_tiles_per_gaussian, cfg.chunk,
+            2 * g, base_tiles_per_gaussian=cfg.base_tiles_per_gaussian,
+            big_pool_factor=cfg.big_pool_factor, depth_key=cfg.depth_key,
+        )
+        return jnp.sum(bins.counts).astype(jnp.float32)
+
+    def stage_fwd(m, covs, harmonics, opacities, c2w):
+        out = render(
+            c2w, intr, near, far, (h, w), bg,
+            m, covs, harmonics, opacities, cfg=cfg,
+        )
+        return jnp.sum(out.color[0, 0, 0])
+
+    def stage_fwd_bwd(m, covs, harmonics, opacities, c2w):
+        grads = grad_fn(m, covs, harmonics, opacities, c2w)
+        return jnp.sum(jnp.abs(grads[0][0])) + jnp.sum(jnp.abs(grads[4][0, 0]))
+
+    programs = {
+        "fwd_bwd": scanned(stage_fwd_bwd),     # the headline
+        "fwd": scanned(stage_fwd),
+        "binning_1cam": scanned(stage_binning),
+    }
+
+    def time_one(name, seed):
+        """One timed pass: a single dispatch of the scanned program."""
+        fn = programs[name]
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            fn(jax.random.PRNGKey(seed), means, covs, harmonics, opacities,
+               c2w)
+        )
+        return (time.perf_counter() - t0) / iters
+
+    result = {
+        "metric": "rasterizer_fwd_bwd_throughput",
+        "unit": "Mpix/s",
+        "config": {
+            "image": [h, w], "views": views, "targets": n_targets,
+            "gaussians": g, "iters_per_pass": iters,
+            "backend": cfg.backend, "depth_key": cfg.depth_key,
+            "base_tiles_per_gaussian": cfg.base_tiles_per_gaussian,
+            "big_pool_factor": cfg.big_pool_factor,
+            "entry_budget": cfg.entry_budget, "chunk": cfg.chunk,
+            "timing": "device-side lax.scan, perturbed inputs, checksum fetch",
+        },
+    }
+
+    # --- compile (warmup) ------------------------------------------------
+    t0 = time.perf_counter()
+    _with_retries(lambda: time_one("fwd_bwd", 0), "warmup/compile")
+    result["init_s"] = round(time.perf_counter() - t0, 1)
+
+    def emit():
+        result["host_load"] = round(_host_load(), 2)
+        result["budget_left_s"] = round(_left(), 1)
+        print(json.dumps(result), flush=True)
+
+    # --- headline: best of up to 4 passes (stalls only inflate time) -----
+    best = _with_retries(lambda: time_one("fwd_bwd", 1), "pass 1")
+    passes = 1
+    result["value"] = round(n_targets * h * w / best / 1e6, 2)
+    result["vs_baseline"] = round(
+        result["value"] / REFERENCE_MPIX_S_ESTIMATE, 3
+    )
+    result["ms_per_camera"] = round(best / n_targets * 1e3, 2)
+    result["passes"] = passes
+    emit()  # headline survives any later failure/timeout
+    for i in range(2, 5):
+        if _left() < 60:
             break
-        if i > 2:
-            time.sleep(20.0)  # let transient host load drain
         try:
-            best = max(best, _with_retries(one_pass, f"measurement pass {i}"))
+            t = _with_retries(lambda: time_one("fwd_bwd", i), f"pass {i}")
         except Exception as e:  # noqa: BLE001 - keep the recorded headline
             print(f"# pass {i} abandoned: {type(e).__name__}: {e}", flush=True)
             break
-        result = emit(best, i)
+        best = min(best, t)
+        passes = i
+        result["value"] = round(n_targets * h * w / best / 1e6, 2)
+        result["vs_baseline"] = round(
+            result["value"] / REFERENCE_MPIX_S_ESTIMATE, 3
+        )
+        result["ms_per_camera"] = round(best / n_targets * 1e3, 2)
+        result["passes"] = passes
+        emit()
 
-    # Flagship train-step numbers at the reference config (b=16, 2 ctx,
-    # 1 tgt, 256^2, full 608M model, remat'd backbone): steps/s + MFU.
-    # Best-effort — the headline metric above never depends on it.
-    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+    # --- stage split (self-diagnosis; best-effort) -----------------------
+    stages = {}
+    for name, div in (("fwd", n_targets), ("binning_1cam", 1)):
+        if _left() < 90:
+            break
+        try:
+            t = _with_retries(lambda: time_one(name, 0), f"stage {name}")
+            t = min(t, _with_retries(lambda: time_one(name, 1), f"stage {name}"))
+            stages[f"{name}_ms_per_camera"] = round(t / div * 1e3, 2)
+        except Exception as e:  # noqa: BLE001
+            stages[f"{name}_error"] = f"{type(e).__name__}: {e}"[:120]
+    if stages:
+        fwd = stages.get("fwd_ms_per_camera")
+        if fwd is not None:
+            stages["bwd_ms_per_camera"] = round(
+                result["ms_per_camera"] - fwd, 2
+            )
+        result["stages"] = stages
+        emit()
+
+    # --- flagship train step at the reference config (b=16) --------------
+    # Reference: config/experiment/spfsplatv2/re10k.yaml:38-52.  Best-effort;
+    # the headline metric above never depends on it.
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1" and _left() > 300:
         try:
             from benchmarks.train_bench import run as train_run
 
@@ -180,7 +290,12 @@ def main() -> None:
             ))
         except Exception as e:  # noqa: BLE001 - report, don't fail the bench
             result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-        print(json.dumps(result), flush=True)
+        emit()
+    elif os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        result["train_bench_error"] = (
+            f"skipped: {_left():.0f}s left of {TIME_BUDGET_S:.0f}s budget"
+        )
+        emit()
 
 
 if __name__ == "__main__":

@@ -12,11 +12,23 @@ Run: timeout 2400 python -u benchmarks/train_bench.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
+
+# Persistent compilation cache (shared with bench.py): the builder session
+# seeds it so the driver's run compiles from cache instead of dying in
+# remote_compile (the round-2/3 failure mode).
+_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".xla_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp  # noqa: E402
 
 V5E_PEAK_FLOPS = 197e12
 
@@ -127,12 +139,16 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
     if isinstance(cost, list):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    # Execute through the wrapper (the frozen LPIPS weights are hidden jit
+    # args there); its compile is served from the persistent cache that
+    # `lowered.compile()` just seeded.
+    del compiled
 
-    state, metrics = compiled(state, batch)
+    state, metrics = step_fn(state, batch)
     jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = compiled(state, batch)
+        state, metrics = step_fn(state, batch)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
     mfu = flops / dt / V5E_PEAK_FLOPS if flops else None

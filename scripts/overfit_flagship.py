@@ -92,6 +92,17 @@ def main() -> None:
     result = {
         "model": "SPFSplatV2 flagship (default config)",
         "scene": "synthetic scene_000, 256x256, b=2",
+        # What this artifact DOES and DOES NOT demonstrate (VERDICT r3 #8):
+        # end-to-end gradient quality of the full 608M pipeline, trained
+        # FROM SCRATCH at full lr on ONE SYNTHETIC scene with LPIPS OFF.
+        # It is NOT the reference's training regime (MASt3R-pretrained
+        # fine-tune, LPIPS on, real RE10K scenes — reference overfit
+        # harness src/dataset/dataset_re10k.py:93-95,121-124), which is
+        # unprovable in this environment (no MASt3R/LPIPS weights, no
+        # RE10K data).
+        "regime": "from-scratch, synthetic single scene, use_lpips=false",
+        "not_demonstrated": "reference fine-tune regime "
+                            "(MASt3R init + LPIPS + real RE10K)",
         "steps": max_steps,
         "final_psnr": psnrs[-1] if psnrs else None,
         "best_psnr": max(psnrs) if psnrs else None,

@@ -262,13 +262,19 @@ def make_train_step(
     """
     trace_count: list[int] = []
 
-    def step_fn(state: TrainState, batch: dict):
+    # The frozen LPIPS/teacher weights are JIT ARGUMENTS, not closure
+    # captures: closed-over arrays become HLO constants, and ~60 MB of
+    # embedded VGG16 weights deterministically SIGSEGVs the TPU
+    # remote-compile helper at flagship batch (the round-2/3 train-bench
+    # HTTP 500; see .claude/skills/verify/SKILL.md round-3 finding).
+    def step_fn(state: TrainState, batch: dict, lpips_p, distiller_p):
         trace_count.append(1)
+
         def loss_fn(params):
             return compute_losses(
                 encoder, params, batch, state.step, image_shape,
-                decoder_cfg, loss_cfg, lpips_params, training_context,
-                distiller, distiller_params,
+                decoder_cfg, loss_cfg, lpips_p, training_context,
+                distiller, distiller_p,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -285,8 +291,15 @@ def make_train_step(
             metrics,
         )
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted_raw = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def jitted(state, batch):
+        return jitted_raw(state, batch, lpips_params, distiller_params)
+
     jitted.trace_count = trace_count
+    jitted.lower = lambda state, batch: jitted_raw.lower(
+        state, batch, lpips_params, distiller_params
+    )
     return jitted
 
 

@@ -29,6 +29,14 @@ def test_converged_past_25_psnr(artifact):
     assert artifact["best_psnr"] > 25.0, artifact["best_psnr"]
 
 
+def test_regime_is_stated(artifact):
+    # The artifact must say what it does NOT demonstrate (synthetic scene,
+    # from scratch, LPIPS off — not the reference MASt3R fine-tune regime).
+    assert "from-scratch" in artifact["regime"]
+    assert "use_lpips=false" in artifact["regime"]
+    assert "fine-tune" in artifact["not_demonstrated"]
+
+
 def test_full_flagship_scale(artifact):
     # The proof only counts at flagship scale and full length.
     assert artifact["steps"] >= 3000
