@@ -184,7 +184,9 @@ def main() -> None:
             c2w, intr, near, far, (h, w), bg,
             m, covs, harmonics, opacities, cfg=cfg,
         )
-        return jnp.sum(out.color[0, 0, 0])
+        # Checksum over EVERY camera's full output — a narrower checksum
+        # lets XLA dead-code-eliminate the other cameras' pipelines.
+        return jnp.sum(out.color) + jnp.sum(out.depth) + jnp.sum(out.alpha)
 
     def stage_fwd_bwd(m, covs, harmonics, opacities, c2w):
         grads = grad_fn(m, covs, harmonics, opacities, c2w)
