@@ -91,6 +91,12 @@ def main():
     proj, bins, packed, attrs_t = jax.block_until_ready(
         build(means, covs, harmonics, opacities)
     )
+    # The jit boundary traced the NamedTuple's static ints into arrays;
+    # restore them as Python ints (they're config constants).
+    bins = bins._replace(
+        e_pad=int(bins.e_pad), dup=int(bins.dup), base_dup=int(bins.base_dup),
+        num_tiles_xy=num_tiles_xy,
+    )
     e_pad = bins.e_pad
     print(f"# e_pad={e_pad} n_live={int(bins.n_live)} "
           f"overflow={int(bins.n_overflow)}", flush=True)

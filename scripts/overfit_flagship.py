@@ -33,12 +33,19 @@ def main() -> None:
                                 image_hw=(256, 256))
 
     max_steps = 3000
-    cfg = load_config(None, [
+    # Base recipe: the shipped flagship preset; overrides below only shrink
+    # it to the synthetic overfit regime (scene, steps, from-scratch lr).
+    cfg = load_config([REPO / "experiments/spfsplatv2/re10k.yaml"], [
         f"dataset.roots=[{root}]",
         "dataset.input_image_shape=[256,256]",
         "dataset.original_image_shape=[256,256]",
         "dataset.augment=false",
         "dataset.overfit_to_scene=scene_000",
+        # Synthetic scenes use the legacy near=1 convention (the preset's
+        # reference value is 0.1 for RE10K's depth range).
+        "dataset.near=1.0",
+        # No MASt3R checkpoint in this environment — from-scratch proof.
+        "checkpointing.pretrained_weights=null",
         "view_sampler.min_distance_between_context_views=4",
         "view_sampler.max_distance_between_context_views=8",
         "view_sampler.warm_up_steps=0",

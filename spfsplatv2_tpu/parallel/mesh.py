@@ -107,3 +107,62 @@ def audit_collectives(hlo_text: str) -> dict:
         out[kind]["count"] += 1
         out[kind]["bytes"] += total
     return out
+
+
+def audit_overlap(hlo_text: str) -> dict:
+    """Check the gradient all-reduce's SCHEDULING in compiled HLO.
+
+    North star (BASELINE.json): the data-parallel gradient all-reduce
+    overlaps the rasterizer backward instead of blocking at the tail.  On
+    TPU, XLA's latency-hiding scheduler splits collectives into async
+    `all-reduce-start` / `all-reduce-done` pairs and the post-scheduling
+    instruction order within a computation IS the execution schedule — so
+    overlap is checkable from the text: count the real work (fusions,
+    sorts, custom-calls — the rasterizer backward is fusions + sorts +
+    the Pallas kernel custom-call) scheduled BETWEEN each start and its
+    done.
+
+    CPU lowers collectives synchronously (no async pairs) — the dryrun on
+    a host-platform mesh then reports {"mode": "sync-cpu-lowering"} and
+    the volume audit (audit_collectives) remains the checkable claim.
+    """
+    import re
+
+    lines = hlo_text.splitlines()
+    starts: dict[str, int] = {}
+    overlaps = []
+    work_pat = re.compile(r"=\s*[^=]*\b(fusion|sort|custom-call)\(")
+    name_pat = re.compile(r"%?([\w.\-]+)\s*=")
+    for i, line in enumerate(lines):
+        if "all-reduce-start(" in line:
+            m = name_pat.search(line)
+            if m:
+                starts[m.group(1)] = i
+        elif "all-reduce-done(" in line:
+            arg = re.search(r"all-reduce-done\(\s*%?([\w.\-]+)", line)
+            if not arg:
+                continue
+            start_line = starts.get(arg.group(1))
+            if start_line is None:
+                continue
+            work = sum(
+                1
+                for j in range(start_line + 1, i)
+                if work_pat.search(lines[j])
+            )
+            overlaps.append(work)
+    if not overlaps:
+        has_sync = "all-reduce(" in hlo_text
+        return {
+            "mode": "sync-cpu-lowering" if has_sync else "no-collectives",
+            "async_pairs": 0,
+        }
+    return {
+        "mode": "async",
+        "async_pairs": len(overlaps),
+        # Ops of real work scheduled inside each start..done window; > 0
+        # for at least one pair means the all-reduce is overlapped with
+        # computation rather than tail-blocking.
+        "work_ops_inside_windows": overlaps,
+        "overlapped": any(w > 0 for w in overlaps),
+    }
