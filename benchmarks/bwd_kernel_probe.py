@@ -158,7 +158,8 @@ def main():
 
         def f(p):
             out = rp._prefix_core(
-                p, bins.flat, bins.src, bins.counts, bins.starts, bins.n_live,
+                p, bins.flat, bins.src, bins.src_order, bins.src_sorted,
+                bins.counts, bins.starts, bins.n_live,
                 num_tiles_xy, chunk, False, bins.dup,
                 bins.base_dup or bins.dup,
             )

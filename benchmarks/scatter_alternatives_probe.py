@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp  # noqa: E402
 
-ITERS = 20
+ITERS = 10
 G = 131072
 DUP = 16
 DUP_A = 4
@@ -136,28 +136,35 @@ def main():
                                   indices_are_sorted=True)
         return jnp.sum(out)
 
+    # Cheap compiles first so one pathological server-side compile can't
+    # starve the whole probe (observed: a single variant compiling 40+ min
+    # while others take seconds).
     variants = {
-        "A_scatter_set_2M_w10": scanned(a_current),
-        "B_scatter_set_720k_w10": scanned(b_twotier_scatter),
-        "C_gather_720k_w10": scanned(c_gather_sorted),
-        "D_gather_262k_w10": scanned(d_gather_262k),
         "E_sort_720k_kp": scanned(e_sort_720k),
+        "D_gather_262k_w10": scanned(d_gather_262k),
+        "C_gather_720k_w10": scanned(c_gather_sorted),
+        "B_scatter_set_720k_w10": scanned(b_twotier_scatter),
+        "H_segsum_sorted_262k": scanned(h_segment_sum_sorted),
         "F_scatter_set_2M_w4": scanned(f_width4),
         "G_scatter_add_2M_w10": scanned(g_scatter_add),
-        "H_segsum_sorted_262k": scanned(h_segment_sum_sorted),
+        "A_scatter_set_2M_w10": scanned(a_current),
     }
+    print("# setup done", flush=True)
     results = {}
     for name, fn in variants.items():
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(0))
-        compile_s = time.perf_counter() - t0
-        best = float("inf")
-        for s in (1, 2):
+        try:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(s))
-            best = min(best, (time.perf_counter() - t0) / ITERS)
-        results[name] = {"ms": round(best * 1e3, 2),
-                         "compile_s": round(compile_s, 1)}
+            jax.block_until_ready(fn(0))
+            compile_s = time.perf_counter() - t0
+            best = float("inf")
+            for s in (1, 2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(s))
+                best = min(best, (time.perf_counter() - t0) / ITERS)
+            results[name] = {"ms": round(best * 1e3, 2),
+                             "compile_s": round(compile_s, 1)}
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps(results), flush=True)
 

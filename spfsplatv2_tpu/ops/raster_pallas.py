@@ -31,8 +31,11 @@ cotangents into per-ENTRY gradients with the suffix identity
   S_i = phi - sum_{j<=i} w_j u_j,  phi = C.gC + D.gD - T_fin.gA,
 so no back-to-front traversal or atomics are needed (the CUDA backward uses
 atomics; the forward-prefix formulation keeps everything dense). Per-entry
-gradients land in exclusive slots of `dattrs_t` and are segment-summed back
-to per-gaussian gradients by XLA's scatter-add through the gather VJP.
+gradients land in exclusive slots of `dattrs_t`, are permuted into
+source-gaussian order with the binning's precomputed src_order (a gather),
+and reduced per gaussian with a sorted segment-sum — scatters are banned
+from the backward (~110 ns/index on v5e vs ~17 ns gathers; see
+benchmarks/scatter_alternatives_probe.py).
 """
 
 from __future__ import annotations
@@ -613,16 +616,16 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
 NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _prefix_core(packed, flat_p, src, counts, starts, n_live,
-                 num_tiles_xy, chunk, interpret, dup, base_dup):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _prefix_core(packed, flat_p, src, src_order, src_sorted, counts, starts,
+                 n_live, num_tiles_xy, chunk, interpret, dup, base_dup):
     """Gather + composite over the prefix entry layout (see PrefixBins).
 
     The gather lives INSIDE this custom-VJP boundary so the backward pass
-    accumulates per-entry gradients with a unique-index scatter-SET into
-    the (g * dup) flat expansion space followed by a dense reshape-sum —
-    never XLA's duplicate-index scatter-add (the gather VJP), which is the
-    single most expensive op of the aligned layouts' backward glue.
+    accumulates per-entry gradients as permute-gather + SORTED segment-sum
+    over the source-order permutation the binning precomputed — never
+    XLA's scatter (measured ~110 ns/index on v5e vs ~17 ns/index gathers;
+    benchmarks/scatter_alternatives_probe.py).
     """
     e_pad = flat_p.shape[0]
     rows = packed[src]                                  # (e_pad, NUM_FIELDS)
@@ -633,8 +636,9 @@ def _prefix_core(packed, flat_p, src, counts, starts, n_live,
                      e_pad, interpret, 1, unaligned=True)
 
 
-def _prefix_core_fwd(packed, flat_p, src, counts, starts, n_live,
-                     num_tiles_xy, chunk, interpret, dup, base_dup):
+def _prefix_core_fwd(packed, flat_p, src, src_order, src_sorted, counts,
+                     starts, n_live, num_tiles_xy, chunk, interpret, dup,
+                     base_dup):
     e_pad = flat_p.shape[0]
     rows = packed[src]
     attrs_t = jnp.concatenate(
@@ -642,14 +646,16 @@ def _prefix_core_fwd(packed, flat_p, src, counts, starts, n_live,
     )
     out = _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
                     e_pad, interpret, 1, unaligned=True)
-    return out, (packed, flat_p, attrs_t, counts, starts, n_live, out)
+    return out, (packed, src_order, src_sorted, attrs_t, counts, starts,
+                 n_live, out)
 
 
 def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, base_dup,
                      residuals, g):
-    packed, flat_p, attrs_t, counts, starts, n_live, fwd_out = residuals
+    (packed, src_order, src_sorted, attrs_t, counts, starts, n_live,
+     fwd_out) = residuals
     n_gauss = packed.shape[0]
-    e_pad = flat_p.shape[0]
+    e_pad = attrs_t.shape[1]
     dattrs_t = _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy,
                          chunk, e_pad, interpret, 1,
                          padded_capacity=False, unaligned=True)
@@ -658,25 +664,16 @@ def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, base_dup,
     # suffix mask (slots past n_live were never written — garbage).
     live = (jnp.arange(e_pad, dtype=jnp.int32) < n_live)[:, None]
     drows = jnp.where(live, drows, 0.0)
-    # Unique-index scatter-SET into the flat (g, dup) expansion space +
-    # dense sum over the dup axis.  flat_p is a permutation fragment
-    # (globally unique), so no accumulation ever happens inside the
-    # scatter — it stays on the cheap per-index path.
-    dflat = jnp.zeros((n_gauss * dup, NUM_FIELDS), drows.dtype)
-    dflat = dflat.at[flat_p].set(drows, unique_indices=True, mode="drop")
-    if base_dup == dup:
-        dpacked = dflat.reshape(n_gauss, dup, NUM_FIELDS).sum(axis=1)
-    else:
-        # Two-tier flat space (see PrefixBins): [0, g*dup_a) row-major by
-        # (row, d); [g*dup_a, g*dup) row-major by (row, d') for the tier-B
-        # pool slots.  Both reduce densely over their slot axis.
-        split = n_gauss * base_dup
-        extra = dup - base_dup
-        dpacked = (
-            dflat[:split].reshape(n_gauss, base_dup, NUM_FIELDS).sum(axis=1)
-            + dflat[split:].reshape(n_gauss, extra, NUM_FIELDS).sum(axis=1)
-        )
-    return dpacked, None, None, None, None, None
+    # Permute entries into source-gaussian order (gather, ~17 ns/index)
+    # and reduce contiguous runs with a SORTED segment-sum.  Padding slots
+    # were clamped to segment n_gauss in the binning and their rows are
+    # zero; the extra segment row is dropped.
+    drows_s = drows[src_order]
+    dpacked = jax.ops.segment_sum(
+        drows_s, src_sorted, num_segments=n_gauss + 1,
+        indices_are_sorted=True,
+    )[:n_gauss]
+    return dpacked, None, None, None, None, None, None, None
 
 
 _prefix_core.defvjp(_prefix_core_fwd, _prefix_core_bwd)
@@ -718,7 +715,8 @@ def composite_pallas_prefix(
     )                                   # (g, NUM_FIELDS)
 
     out = _prefix_core(
-        packed, bins.flat, bins.src, bins.counts, bins.starts, bins.n_live,
+        packed, bins.flat, bins.src, bins.src_order, bins.src_sorted,
+        bins.counts, bins.starts, bins.n_live,
         (tiles_y, tiles_x), chunk, interpret, bins.dup,
         bins.base_dup or bins.dup,
     )  # (n_tiles, P, 8)

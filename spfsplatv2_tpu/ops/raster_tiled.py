@@ -186,6 +186,16 @@ class PrefixBins(NamedTuple):
     # pool slots (g * base_dup + row * (dup - base_dup) + d').  base_dup ==
     # dup means single-tier.
     base_dup: int = 0
+    # Backward-accumulation order (round 4): src_order permutes entry
+    # slots into non-decreasing source-gaussian order (src_sorted =
+    # src[src_order]).  The backward then reduces per-entry gradients with
+    # permute-gather + SORTED segment-sum (~10 ms/camera) instead of a
+    # scatter into the (g * dup) flat space (~29 ms — scatter costs ~110
+    # ns/index on v5e, 7x the old cost model; see
+    # benchmarks/scatter_alternatives_probe.py).  Computed in the forward
+    # (indices don't depend on cotangents).
+    src_order: jax.Array | None = None   # (e_pad,)
+    src_sorted: jax.Array | None = None  # (e_pad,)
 
 
 def bin_gaussians_prefix(
@@ -361,9 +371,19 @@ def bin_gaussians_prefix(
         )
     else:
         src = flat_p // jnp.int32(dup_a)
+    # Source-order permutation for the backward's sorted segment-sum (see
+    # PrefixBins.src_order).  Padding slots carry src >= g (from their
+    # out-of-range flat ids), so they sink to the tail and the segment-sum
+    # drops them.  One e_pad-sized (key, payload) sort in the FORWARD buys
+    # the backward out of the 2M-flat-space scatter.
+    src_sorted, src_order = jax.lax.sort(
+        (jnp.minimum(src, jnp.int32(g)),  # clamp padding ids to segment g
+         jnp.arange(e_pad, dtype=jnp.int32)),
+        dimension=0, num_keys=1, is_stable=False,
+    )
     return PrefixBins(
         flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup,
-        n_overflow, dup_a,
+        n_overflow, dup_a, src_order, src_sorted,
     )
 
 

@@ -35,3 +35,11 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 if not _USE_TPU:
     assert jax.default_backend() == "cpu"
+
+
+def pytest_configure(config):
+    # pyproject sets `-n 4` (xdist) for the CPU suite; the real chip is a
+    # single exclusive device, so TPU runs must be serial.
+    if _USE_TPU and getattr(config.option, "numprocesses", None):
+        config.option.numprocesses = 0
+        config.option.dist = "no"
