@@ -34,7 +34,8 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def run(batch_size: int = 16, h: int = 256, w: int = 256,
-        use_lpips: bool = True, iters: int = 10) -> dict:
+        use_lpips: bool = True, iters: int = 10,
+        microbatch: int = 4) -> dict:
     from spfsplatv2_tpu.models.decoder import DecoderConfig
     from spfsplatv2_tpu.models.encoder import (
         SPFSplatV2Config,
@@ -117,10 +118,13 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
             lpips_params = init_lpips_params()
 
     optimizer = make_optimizer(OptimizerConfig(), params)
+    # b=16 activations don't fit one 16 GB v5e chip (the reference trains
+    # this recipe on 80 GB A100s); 4x4 gradient accumulation is numerically
+    # the same step.  steps/s and MFU below are for the FULL b=16 step.
     step_fn = make_train_step(
         encoder, optimizer, (h, w), DecoderConfig(),
         LossConfig(use_lpips=use_lpips), lpips_params=lpips_params,
-        donate=True,
+        donate=True, microbatch=microbatch,
     )
     # jit the optimizer-state init: eager optax.init at 608M is hundreds
     # of per-op remote calls over the tunnel.
@@ -158,6 +162,7 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
         "train_mfu_pct": round(100 * mfu, 1) if mfu else None,
         "train_flops_per_step": flops,
         "params_m": round(n_params / 1e6),
+        "train_microbatch": microbatch,
     }
     return out
 

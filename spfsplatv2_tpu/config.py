@@ -38,6 +38,12 @@ class TrainerConfig:
     batch_size: int = 16
     seed: int = 111_123
     num_nodes: int = 1
+    # Gradient accumulation: per-device batches are processed in chunks of
+    # this size with gradients averaged before the single optimizer update
+    # (numerically the full-batch step; activation memory scales with the
+    # chunk).  0 = off.  The reference b=16 flagship recipe fits an 80 GB
+    # A100; one 16 GB v5e chip runs it as 4x4.
+    microbatch: int = 0
 
 
 @dataclass(frozen=True)

@@ -114,11 +114,21 @@ def load_torch_lpips_weights(torch_state: dict) -> dict:
     return {"params": params}
 
 
+@jax.checkpoint
+def lpips_distances(lpips_params, prediction, target):
+    """(b, h, w, 3) images in [0, 1] -> (b,) LPIPS distances.
+
+    Rematerialized: the VGG activations are ~3 GB at the flagship b=16
+    256^2 batch; recomputing the (cheap vs ViT-L) VGG forward in the
+    backward pass trades that for ~2x VGG FLOPs.
+    """
+    model = LPIPS()
+    return model.apply(lpips_params, prediction * 2 - 1, target * 2 - 1)
+
+
 def lpips_loss(lpips_params, prediction, target, weight: float = 1.0):
     """prediction/target (b, h, w, 3) in [0, 1] -> scalar weighted LPIPS."""
-    model = LPIPS()
-    d = model.apply(lpips_params, prediction * 2 - 1, target * 2 - 1)
-    return weight * jnp.mean(d)
+    return weight * jnp.mean(lpips_distances(lpips_params, prediction, target))
 
 
 def get_lpips_params(use_lpips: bool, weights_path=None):

@@ -71,6 +71,10 @@ class SPFSplatV2Config:
     pose_make_relative: bool = True
     input_mean: float = 0.5
     input_std: float = 0.5
+    # Rematerialize the full-resolution DPT heads: their conv activations
+    # ((b, 256, 256, 256) f32 per head per view group) dominate peak HBM at
+    # the flagship b=16 batch; the heads are cheap vs ViT-L to recompute.
+    remat_heads: bool = True
 
 
 class SPFSplatV2Encoder(nn.Module):
@@ -144,8 +148,19 @@ class SPFSplatV2Encoder(nn.Module):
         ctx_feat = [t[:, :v_cxt] for t in dec_feat]
 
         # ---- pointmap heads (context views only) -------------------------
+        # static_argnums counts self at 0: `grid` (a static (gh, gw) tuple)
+        # is positional 2 for DPTHead, and `image` stays traced for
+        # DPTGSHead (positional 3 is the array).
+        pts_cls = (
+            nn.remat(DPTHead, static_argnums=(2,))
+            if cfg.remat_heads else DPTHead
+        )
+        gs_cls = (
+            nn.remat(DPTGSHead, static_argnums=(2,))
+            if cfg.remat_heads else DPTGSHead
+        )
         raw_pts = self._run_dual_heads(
-            lambda s: DPTHead(
+            lambda s: pts_cls(
                 out_channels=3, feature_dim=cfg.dpt_feature_dim,
                 last_dim=cfg.dpt_last_dim, layer_dims=cfg.dpt_layer_dims,
                 out_bias=(0.0, 0.0, 1.2),  # from-scratch: points start ~z=2.3
@@ -159,7 +174,7 @@ class SPFSplatV2Encoder(nn.Module):
         gs_dim = raw_gaussian_channels(cfg.sh_degree)
         ctx_images_norm = images[:, :v_cxt]
         raw_gs = self._run_dual_heads(
-            lambda s: DPTGSHead(
+            lambda s: gs_cls(
                 out_channels=gs_dim, feature_dim=cfg.dpt_feature_dim,
                 layer_dims=cfg.dpt_layer_dims,
                 name=f"gaussian_param_head{s}",

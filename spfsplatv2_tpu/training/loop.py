@@ -246,6 +246,7 @@ def run_training(
     step_kwargs = dict(
         lpips_params=lpips_params,
         training_context=cfg.train.training_context,
+        microbatch=cfg.trainer.microbatch or None,
     )
     step_fn = make_train_step(
         encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
@@ -426,8 +427,39 @@ def save_checkpoint(ckpt_dir: Path, state, step: int) -> None:
         ckptr.save(path, jax.device_get(state), force=True)
 
 
+def resolve_checkpoint_uri(path: str | Path) -> Path:
+    """Resolve `wandb://run_id[:version]` checkpoint URIs to a local path.
+
+    Reference: src/misc/wandb_tools.py:43-62 (`download_latest_checkpoint`
+    / version_to_int): artifact `model-<run_id>:<version|latest>` is
+    downloaded into a local cache dir and its `model.ckpt` used.  Here the
+    artifact's directory is the orbax checkpoint.  Requires the `wandb`
+    package and login; plain paths pass through untouched.
+    """
+    path = str(path)
+    if not path.startswith("wandb://"):
+        return Path(path)
+    spec = path[len("wandb://"):]
+    run_id, _, version = spec.partition(":")
+    version = version or "latest"
+    try:
+        import wandb
+    except ImportError as e:  # pragma: no cover - wandb not in this env
+        raise RuntimeError(
+            f"checkpoint URI {path!r} needs the `wandb` package "
+            "(reference src/misc/wandb_tools.py:43-62)"
+        ) from e
+    api = wandb.Api()
+    artifact = api.artifact(f"model-{run_id}:{version}")
+    root = Path("checkpoints") / "wandb" / f"{run_id}_{version}"
+    artifact.download(root=str(root))
+    return root
+
+
 def load_checkpoint(path: str | Path, target=None):
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(Path(path).absolute(), item=target)
+        return ckptr.restore(
+            resolve_checkpoint_uri(path).absolute(), item=target
+        )

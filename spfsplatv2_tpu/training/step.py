@@ -142,11 +142,9 @@ def compute_losses(
                 lpips_params, pred_flat, gt_flat, loss_cfg.lpips_weight
             )
         else:
-            from spfsplatv2_tpu.losses.lpips import LPIPS
+            from spfsplatv2_tpu.losses.lpips import lpips_distances
 
-            d = LPIPS().apply(
-                lpips_params, pred_flat * 2 - 1, gt_flat * 2 - 1
-            )
+            d = lpips_distances(lpips_params, pred_flat, gt_flat)
             lp = loss_cfg.lpips_weight * (
                 jnp.sum(d * img_w) / jnp.maximum(jnp.sum(img_w), 1.0)
             )
@@ -252,8 +250,18 @@ def make_train_step(
     donate: bool = True,
     distiller=None,
     distiller_params=None,
+    microbatch: int | None = None,
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    `microbatch`: gradient accumulation — the batch is split into equal
+    chunks of this size, gradients are averaged over a `lax.scan` of
+    per-chunk backward passes, and ONE optimizer update is applied.
+    Numerically equivalent to the full batch (equal chunks -> mean of
+    means) with activation memory scaled by microbatch/batch: the
+    reference trains its b=16 flagship recipe on 80 GB A100s
+    (config/experiment/spfsplatv2/re10k.yaml:38-52); one v5e chip has
+    16 GB, so b=16 runs as e.g. 4x4 accumulation.
 
     The returned function carries a `trace_count` list whose length is the
     number of RETRACES — the shape-stability signal for masked view
@@ -270,16 +278,67 @@ def make_train_step(
     def step_fn(state: TrainState, batch: dict, lpips_p, distiller_p):
         trace_count.append(1)
 
-        def loss_fn(params):
+        def loss_fn(params, mb):
             return compute_losses(
-                encoder, params, batch, state.step, image_shape,
+                encoder, params, mb, state.step, image_shape,
                 decoder_cfg, loss_cfg, lpips_p, training_context,
                 distiller, distiller_p,
             )
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        b = batch["context"]["image"].shape[0]
+        if microbatch is None or microbatch >= b:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch)
+        else:
+            assert b % microbatch == 0, (b, microbatch)
+            n = b // microbatch
+
+            def split(x):
+                return x.reshape(n, microbatch, *x.shape[1:])
+
+            stacked = {
+                side: jax.tree.map(split, batch[side])
+                for side in ("context", "target")
+            }
+            aux = {
+                k: batch[k]
+                for k in ("context_valid", "target_valid")
+                if k in batch
+            }
+
+            def scan_body(carry, mb_sides):
+                acc_grads, acc_metrics = carry
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, {**mb_sides, **aux})
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+                return (acc_grads, acc_metrics), None
+
+            first_mb = {
+                side: jax.tree.map(lambda x: x[0], stacked[side])
+                for side in stacked
+            }
+            metric_shapes = jax.eval_shape(
+                lambda p: loss_fn(p, {**first_mb, **aux})[1], state.params
+            )
+            zero = (
+                jax.tree.map(jnp.zeros_like, state.params),
+                jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), metric_shapes
+                ),
+            )
+            (grads, metrics), _ = jax.lax.scan(scan_body, zero, stacked)
+            inv = 1.0 / n
+            grads = jax.tree.map(lambda gr: gr * inv, grads)
+            # Float metrics (losses/psnr/pose errors) are means -> average;
+            # integer counters (raster/dropped_entries) stay batch totals.
+            metrics = {
+                k: v * inv if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in metrics.items()
+            }
+
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

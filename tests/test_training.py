@@ -138,6 +138,43 @@ class TestTrainStep:
         ]:
             assert key in metrics, key
 
+    def test_microbatch_matches_full_batch(self, harness):
+        """Gradient accumulation == the full-batch step numerically.
+
+        The reference trains b=16 on 80 GB A100s; one 16 GB v5e runs the
+        same recipe as 4x4 accumulation (make_train_step(microbatch=...)),
+        which must be the SAME optimizer step (equal chunks -> mean of
+        means)."""
+        step_full, state, _ = harness
+        encoder = SPFSplatV2Encoder(SPFSplatV2Config(
+            backbone=TINY, sh_degree=1,
+            dpt_feature_dim=32, dpt_last_dim=16,
+            dpt_layer_dims=(16, 24, 32, 48),
+        ))
+        optimizer = make_optimizer(
+            OptimizerConfig(lr=2e-4, warm_up_steps=2, max_steps=100),
+            state.params,
+        )
+        decoder_cfg = DecoderConfig(
+            rasterizer=RasterizerConfig(max_per_tile=512, chunk=128)
+        )
+        step_micro = make_train_step(
+            encoder, optimizer, (H, W), decoder_cfg,
+            LossConfig(use_lpips=False), donate=False, microbatch=1,
+        )
+        batch = make_batch(jax.random.PRNGKey(9), b=2)
+        s_full, m_full = step_full(state, batch)
+        s_micro, m_micro = step_micro(state, batch)
+        np.testing.assert_allclose(
+            float(m_micro["loss/total"]), float(m_full["loss/total"]),
+            rtol=2e-5,
+        )
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            s_full.params, s_micro.params,
+        )
+        assert max(jax.tree.leaves(diffs)) < 5e-6, max(jax.tree.leaves(diffs))
+
     def test_lpips_loss_runs(self):
         from spfsplatv2_tpu.losses.lpips import init_lpips_params, lpips_loss
 

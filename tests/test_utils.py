@@ -132,3 +132,29 @@ class TestEvaluationMetrics:
         diff = float(compute_ssim(a, 1 - a)[0])
         assert same > 0.99
         assert diff < 0.5
+
+
+class TestWandbCheckpointURI:
+    def test_plain_path_passes_through(self, tmp_path):
+        from spfsplatv2_tpu.training.loop import resolve_checkpoint_uri
+
+        assert resolve_checkpoint_uri(tmp_path) == tmp_path
+
+    def test_wandb_uri_requires_wandb(self, monkeypatch):
+        # Reference checkpoint URIs (src/misc/wandb_tools.py:43-62).
+        import builtins
+
+        from spfsplatv2_tpu.training.loop import resolve_checkpoint_uri
+
+        real_import = builtins.__import__
+
+        def block_wandb(name, *a, **k):
+            if name == "wandb":
+                raise ImportError("no wandb in test env")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", block_wandb)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="wandb"):
+            resolve_checkpoint_uri("wandb://abc123:v3")
