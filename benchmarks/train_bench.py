@@ -35,7 +35,12 @@ V5E_PEAK_FLOPS = 197e12
 
 def run(batch_size: int = 16, h: int = 256, w: int = 256,
         use_lpips: bool = True, iters: int = 10,
-        microbatch: int = 4) -> dict:
+        microbatch: int = 2) -> dict:
+    # microbatch=4 LOOKS like it fits (the compile succeeds) but XLA's
+    # memory_analysis puts peak HBM at 17.9 GB on the 16 GB chip; the axon
+    # runtime silently pages buffers over the tunnel instead of OOMing,
+    # which measured 82 s/step at 0.1% MFU.  microbatch=2 trades 2x scan
+    # iterations for ~5 GB of activation temps and stays resident.
     from spfsplatv2_tpu.models.decoder import DecoderConfig
     from spfsplatv2_tpu.models.encoder import (
         SPFSplatV2Config,
@@ -143,16 +148,21 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
     if isinstance(cost, list):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    # Execute through the wrapper (the frozen LPIPS weights are hidden jit
-    # args there); its compile is served from the persistent cache that
-    # `lowered.compile()` just seeded.
-    del compiled
-
-    state, metrics = step_fn(state, batch)
+    ma = compiled.memory_analysis()
+    peak_gb = (
+        ma.argument_size_in_bytes + ma.output_size_in_bytes
+        - ma.alias_size_in_bytes + ma.temp_size_in_bytes
+    ) / 2**30
+    # Execute the AOT executable DIRECTLY: re-tracing through the jit
+    # wrapper was observed to produce a different persistent-cache key
+    # than lowered.compile() (two ~170 MB step_fn entries per run), i.e.
+    # a silent second 400 s compile.  The AOT object reuses this one.
+    # Its call signature is the lowered one: (state, batch, lpips, dist).
+    state, metrics = compiled(state, batch, lpips_params, None)
     jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = step_fn(state, batch)
+        state, metrics = compiled(state, batch, lpips_params, None)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
     mfu = flops / dt / V5E_PEAK_FLOPS if flops else None
@@ -161,6 +171,7 @@ def run(batch_size: int = 16, h: int = 256, w: int = 256,
         "train_steps_per_s_b16": round(1.0 / dt, 3),
         "train_mfu_pct": round(100 * mfu, 1) if mfu else None,
         "train_flops_per_step": flops,
+        "train_peak_hbm_gb": round(peak_gb, 2),
         "params_m": round(n_params / 1e6),
         "train_microbatch": microbatch,
     }
