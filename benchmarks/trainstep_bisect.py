@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -63,7 +66,10 @@ def main():
 
     from benchmarks.train_bench import run as train_run
 
-    out2 = train_run(use_lpips=False, iters=5)
+    # microbatch=4 explicitly: this reproduces the RECORDED round-4 paging
+    # pathology (17.9 GB peak at 4x4 accumulation) — the train_bench default
+    # has since moved to the healthy microbatch=2.
+    out2 = train_run(use_lpips=False, iters=5, microbatch=4)
     out2 = {f"nolpips_{k}": v for k, v in out2.items()}
     print(json.dumps(out2), flush=True)
 

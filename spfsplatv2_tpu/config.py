@@ -169,10 +169,24 @@ def dataset_entries(cfg: "RootConfig") -> tuple[DatasetEntry, ...]:
 
 
 def make_sampler_for_entry(entry: DatasetEntry, stage: str):
-    """Build one dataset entry's configured view sampler."""
+    """Build one dataset entry's configured view sampler.
+
+    At test time, a configured `evaluation_sampler.index_path` switches a
+    training (bounded) sampler to the frozen-index evaluation sampler —
+    mirroring the reference's evaluation config layer overriding
+    view_sampler to `evaluation` (reference: config/evaluation/re10k.yaml,
+    src/dataset/view_sampler/view_sampler_evaluation.py:26-88).  The
+    shipped index tables live in assets/evaluation_index_*.json.
+    """
     from spfsplatv2_tpu.data.view_samplers import make_view_sampler
 
     kind = entry.view_sampler_name
+    if (
+        stage == "test"
+        and kind == "bounded"
+        and entry.evaluation_sampler.index_path
+    ):
+        kind = "evaluation"
     sampler_cfg = {
         "bounded": entry.view_sampler,
         "evaluation": entry.evaluation_sampler,
