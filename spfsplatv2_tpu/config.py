@@ -42,8 +42,14 @@ class TrainerConfig:
     # this size with gradients averaged before the single optimizer update
     # (numerically the full-batch step; activation memory scales with the
     # chunk).  0 = off.  The reference b=16 flagship recipe fits an 80 GB
-    # A100; one 16 GB v5e chip runs it as 4x4.
+    # A100; one 16 GB v5e chip runs it as 8x2 (microbatch=2).
     microbatch: int = 0
+    # HBM-fit guard budget (GB).  None = auto-detect from the device.  The
+    # compiled step's XLA memory_analysis is checked against this before
+    # training starts: over-budget programs COMPILE fine but silently page
+    # host<->device at ~10x step cost (PERFORMANCE.md round-4), so the loop
+    # auto-halves `microbatch` until the step fits (or raises).
+    hbm_budget_gb: Optional[float] = None
 
 
 @dataclass(frozen=True)

@@ -286,6 +286,7 @@ def _backward_kernel(
     attrs_hbm,       # ANY (FEAT, E_cap)
     fwd_out_ref,     # VMEM (1, PIX_PER_TILE, 8)
     grads_ref,       # VMEM (1, PIX_PER_TILE, 8)
+    dattrs_init_hbm,  # ANY (FEAT, E_cap) pre-zeroed, aliased to the output
     dattrs_hbm,      # OUT ANY (FEAT, E_cap)
     scratch,         # VMEM (2, FEAT, chunk)
     dscratch,        # VMEM (FEAT, chunk)
@@ -298,7 +299,6 @@ def _backward_kernel(
     tiles_x: int,
     max_per_tile: int,
     tiles_per_cam: int,
-    padded_capacity: bool,
     unaligned: bool = False,
 ):
     t = pl.program_id(0)
@@ -315,20 +315,17 @@ def _backward_kernel(
     else:
         aligned = start
         head = jnp.int32(0)
-    # Write EVERY chunk of this segment's CAPACITY (zeros where not
-    # computed); aligned-layout segments are disjoint, so slots stay
-    # exclusive.  Capacity is the fixed stride for the padded layout,
-    # roundup(count, chunk) for the ragged layouts.  The UNALIGNED prefix
-    # layout shares its boundary 128-lane blocks with neighbouring tiles:
-    # the first chunk (when head > 0) read-modify-writes, merging computed
-    # values into the block the PREVIOUS tile already wrote (TPU grid
-    # steps run sequentially on one core, so the ordering is guaranteed),
-    # and tail lanes are written zero for the NEXT tile to merge over.
+    # Write every VISITED chunk of this segment (the output buffer is a
+    # pre-ZEROED input aliased onto the output, so unvisited chunks —
+    # early exit, alignment padding, dead tail — already hold zeros and
+    # need no zero-fill DMA loop).  Aligned-layout segments are disjoint,
+    # so slots stay exclusive.  The UNALIGNED prefix layout shares its
+    # boundary 128-lane blocks with neighbouring tiles: the first chunk
+    # (when head > 0) read-modify-writes, merging computed values into
+    # the block the PREVIOUS tile already wrote (TPU grid steps run
+    # sequentially on one core, so the ordering is guaranteed), and tail
+    # lanes are written zero for the NEXT tile to merge over.
     n_ch = pl.cdiv(head + count, chunk)
-    if padded_capacity:
-        n_ch_pad = max_per_tile // chunk
-    else:
-        n_ch_pad = n_ch
 
     _, _, ox, oy = _pixel_grid(jax.lax.rem(t, tiles_per_cam), tiles_x)
     basis = basis_ref[...]
@@ -399,6 +396,11 @@ def _backward_kernel(
     @pl.when(n_ch > 0)
     def _():
         dma(0, 0).start()
+
+    # Pad rows 10:16 are constant zero; written once, not per chunk.
+    dscratch[NUM_FIELDS:FEAT, :] = jnp.zeros(
+        (FEAT - NUM_FIELDS, chunk), jnp.float32
+    )
 
     gcat = jnp.concatenate(
         [g_c, jnp.zeros_like(g_d), g_d,
@@ -493,7 +495,6 @@ def _backward_kernel(
         dscratch[5:8, :] = d_col * vmask
         dscratch[8:9, :] = d_op * vmask
         dscratch[9:10, :] = d_dep * vmask
-        dscratch[10:16, :] = jnp.zeros((6, chunk), jnp.float32)
         write_out(c)
 
         s_rem = s_rem - jnp.sum(wu, axis=1, keepdims=True)
@@ -504,24 +505,14 @@ def _backward_kernel(
         c, _, t_max, _ = carry
         return (c < n_ch) & (t_max >= T_EPS)
 
-    c_exit, _, _, _ = jax.lax.while_loop(
+    jax.lax.while_loop(
         cond,
         body,
         (jnp.zeros((), jnp.int32), jnp.ones((PIX_PER_TILE, 1), jnp.float32),
          jnp.ones((), jnp.float32), phi),
     )
-
-    # Chunks never visited (early exit or alignment padding) still need
-    # their gradient slots zeroed — the output buffer is uninitialized.
-    @pl.when(c_exit < n_ch_pad)
-    def _():
-        dscratch[:, :] = jnp.zeros((FEAT, chunk), jnp.float32)
-
-    def zero_body(c, _):
-        write_out(c)
-        return _
-
-    jax.lax.fori_loop(c_exit, n_ch_pad, zero_body, None)
+    # Unvisited chunks (early exit / alignment padding / dead tail) keep
+    # the pre-zeroed aliased buffer's zeros — no zero-fill loop.
 
 
 def _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
@@ -562,8 +553,11 @@ def _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
 
 
 def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
-              max_per_tile, interpret, n_cam, padded_capacity,
+              max_per_tile, interpret, n_cam, padded_capacity=False,
               unaligned=False):
+    # padded_capacity is accepted for probe-API compat and ignored: the
+    # output is a pre-zeroed aliased buffer, so capacity zero-fill is gone.
+    del padded_capacity
     tiles_y, tiles_x = num_tiles_xy
     n_tiles = tiles_y * tiles_x
     grads = jnp.concatenate(
@@ -573,7 +567,6 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
     kernel = functools.partial(_backward_kernel, chunk=chunk, tiles_x=tiles_x,
                                max_per_tile=max_per_tile,
                                tiles_per_cam=n_tiles,
-                               padded_capacity=padded_capacity,
                                unaligned=unaligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -592,6 +585,7 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
                 (1, PIX_PER_TILE, 8), lambda t, c, s: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -604,13 +598,18 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
         ],
     )
     px, py, _, _ = _pixel_grid(jnp.zeros((), jnp.int32), tiles_x)
+    # The pre-zeroed gradient buffer is input 6 (indices count the scalar-
+    # prefetch args), aliased onto output 0: unvisited chunks keep zeros.
+    dattrs_init = jnp.zeros(attrs_t.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         interpret=interpret,
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts, starts, _pixel_basis(px, py), attrs_t, fwd_out, grads)
+    )(counts, starts, _pixel_basis(px, py), attrs_t, fwd_out, grads,
+      dattrs_init)
 
 
 NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)

@@ -57,11 +57,22 @@ def batch_iterator(
         while True:
             # get_step is passed THROUGH so the view-sampler curriculum
             # advances within an epoch.
+            n_epoch = 0
             for example in dataset.epoch(epoch, global_step=get_step):
+                n_epoch += 1
                 buf.append(example)
                 if len(buf) == batch_size:
                     yield collate(buf)
                     buf = []
+            if n_epoch == 0:
+                # Every scene was filtered/skipped (e.g. sampler gaps
+                # larger than the scenes' frame counts): spinning through
+                # empty epochs forever is a silent hang — fail loudly.
+                raise RuntimeError(
+                    "dataset epoch yielded zero examples — every scene "
+                    "was skipped (check view-sampler distances vs scene "
+                    "frame counts, and dataset filters)"
+                )
             epoch += 1
 
     if prefetch <= 0:
@@ -243,22 +254,6 @@ def run_training(
             freeze_pose_head=cfg.train.freeze_pose_head,
         ),
     )
-    step_kwargs = dict(
-        lpips_params=lpips_params,
-        training_context=cfg.train.training_context,
-        microbatch=cfg.trainer.microbatch or None,
-    )
-    step_fn = make_train_step(
-        encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
-        **step_kwargs,
-    )
-    distill_step_fn = None
-    if distiller is not None:
-        distill_step_fn = make_train_step(
-            encoder, optimizer, tuple(cfg.image_shape), cfg.decoder, cfg.loss,
-            distiller=distiller, distiller_params=distiller_params,
-            **step_kwargs,
-        )
     state = init_train_state(encoder, optimizer, params)
 
     mesh = make_mesh()
@@ -312,6 +307,69 @@ def run_training(
                 out[key] = replicate(jnp.asarray(batch[key]), mesh)
         return out
 
+    # --- build the compiled step, guarded by the HBM-fit check ----------
+    # "It compiled" does NOT mean "it fits": an over-budget program pages
+    # host<->device silently at ~10x step cost on this runtime
+    # (PERFORMANCE.md round-4).  AOT-compile, read XLA's memory_analysis,
+    # and auto-halve the accumulation microbatch until the step fits.
+    from spfsplatv2_tpu.training.step import (
+        HBMBudgetError,
+        device_hbm_budget_gb,
+    )
+
+    step_kwargs = dict(
+        lpips_params=lpips_params,
+        training_context=cfg.train.training_context,
+    )
+    probe_batch = first
+    if drop_cfg.random_drop_context_views or drop_cfg.random_drop_target_views:
+        probe_batch = random_drop_views(
+            first, np.random.default_rng(0), drop_cfg
+        )
+    probe_dev = to_device(probe_batch)
+    eff_batch = int(np.asarray(probe_batch["context"]["image"]).shape[0])
+    budget_gb = cfg.trainer.hbm_budget_gb
+    if budget_gb is None:
+        budget_gb = device_hbm_budget_gb()
+    microbatch = cfg.trainer.microbatch or None
+    peak_gb = None
+    while True:
+        step_fn = make_train_step(
+            encoder, optimizer, tuple(cfg.image_shape), cfg.decoder,
+            cfg.loss, microbatch=microbatch, **step_kwargs,
+        )
+        run_step, peak_gb = step_fn.compile_checked(state, probe_dev)
+        if peak_gb is not None:
+            print(
+                f"train step peak HBM {peak_gb:.2f} GB"
+                + (f" (budget {budget_gb:.1f} GB)" if budget_gb else ""),
+                flush=True,
+            )
+        if peak_gb is None or budget_gb is None or peak_gb <= budget_gb:
+            break
+        new_mb = (microbatch or eff_batch) // 2
+        if new_mb < 1 or eff_batch % new_mb != 0:
+            raise HBMBudgetError(
+                f"train step needs {peak_gb:.2f} GB > {budget_gb:.1f} GB "
+                f"HBM and microbatch={microbatch} cannot halve further "
+                f"(batch {eff_batch}); shrink the batch/model or raise "
+                f"trainer.hbm_budget_gb if paging is acceptable"
+            )
+        print(
+            f"WARNING: step peak HBM {peak_gb:.2f} GB > budget "
+            f"{budget_gb:.1f} GB — would silently page; halving "
+            f"accumulation microbatch {microbatch or eff_batch} -> {new_mb}",
+            flush=True,
+        )
+        microbatch = new_mb
+    distill_step_fn = None
+    if distiller is not None:
+        distill_step_fn = make_train_step(
+            encoder, optimizer, tuple(cfg.image_shape), cfg.decoder,
+            cfg.loss, distiller=distiller, distiller_params=distiller_params,
+            microbatch=microbatch, **step_kwargs,
+        )
+
     batch = first
     t_start = time.perf_counter()
     for step in range(start_step, total):
@@ -321,11 +379,14 @@ def run_training(
         fn = (
             distill_step_fn
             if distill_step_fn is not None and step <= cfg.train.distill_max_steps
-            else step_fn
+            else run_step
         )
         state, metrics = fn(state, to_device(batch))
         if log_fn is not None and step % cfg.train.print_log_every_n_steps == 0:
-            log_fn(step, {k: float(v) for k, v in metrics.items()})
+            logged = {k: float(v) for k, v in metrics.items()}
+            if peak_gb is not None:
+                logged["mem/peak_hbm_gb"] = peak_gb
+            log_fn(step, logged)
         if (
             val_example is not None
             and step > 0

@@ -359,7 +359,64 @@ def make_train_step(
     jitted.lower = lambda state, batch: jitted_raw.lower(
         state, batch, lpips_params, distiller_params
     )
+
+    def compile_checked(state, batch):
+        """AOT-compile and return (step_callable, peak_hbm_gb | None).
+
+        The callable executes the AOT executable DIRECTLY — re-tracing
+        through the jit wrapper was observed to produce a different
+        persistent-cache key than lowered.compile(), i.e. a silent
+        duplicate ~400 s compile at flagship scale (PERFORMANCE.md).
+        peak_hbm_gb comes from XLA's own memory_analysis; "it compiled"
+        does NOT mean "it fits" on the axon runtime, which silently pages
+        to host at ~10x step cost instead of OOMing.
+        """
+        compiled = jitted.lower(state, batch).compile()
+        peak_gb = peak_hbm_gb(compiled)
+
+        def run(state, batch):
+            return compiled(state, batch, lpips_params, distiller_params)
+
+        run.trace_count = trace_count
+        return run, peak_gb
+
+    jitted.compile_checked = compile_checked
     return jitted
+
+
+def peak_hbm_gb(compiled) -> float | None:
+    """Peak device-memory estimate (GB) of an AOT-compiled executable."""
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:  # noqa: BLE001 - backend-dependent API
+        return None
+    if isinstance(ma, list):
+        ma = ma[0] if ma else None
+    try:
+        return (
+            ma.argument_size_in_bytes + ma.output_size_in_bytes
+            - ma.alias_size_in_bytes + ma.temp_size_in_bytes
+        ) / 2**30
+    except AttributeError:
+        return None
+
+
+def device_hbm_budget_gb() -> float | None:
+    """Usable HBM of device 0, or None when undetectable (e.g. CPU)."""
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return stats["bytes_limit"] / 2**30
+    except Exception:  # noqa: BLE001 - memory_stats is optional API
+        pass
+    if getattr(dev, "platform", "") == "tpu":
+        return 16.0  # v5e default; override via TrainerConfig.hbm_budget_gb
+    return None
+
+
+class HBMBudgetError(RuntimeError):
+    """Compiled step's peak HBM exceeds the device budget (would page)."""
 
 
 def init_train_state(encoder, optimizer, params) -> TrainState:
