@@ -122,9 +122,13 @@ def main() -> None:
     cfg = RasterizerConfig(
         backend="auto", scale_invariant=True, max_per_tile=2048, chunk=256,
         max_tiles_per_gaussian=16,
-        # Compact-layout budget: this scene projects ~1.61 live entries per
-        # gaussian (measured 211k/131k); 2x leaves 24% headroom.
-        entry_budget=2 * g,
+        # This scene projects ~1.47 live entries per gaussian (192k/131k,
+        # r5_dissect); 1.75x leaves 19% headroom (n_overflow stays 0, and
+        # overflow is an emitted metric, never silent).
+        entry_budget=-(-int(1.75 * g) // 128) * 128,
+        # Top-22-depth-bit sort key: ~equal order to exact rank (ties only
+        # below 1e-4 relative depth), skips the double argsort.
+        depth_key="quantized",
     )
 
     def loss_fn(means, covs, harmonics, opacities, c2w):
@@ -174,7 +178,8 @@ def main() -> None:
         )
         bins = bin_gaussians_prefix(
             proj, (h, w), cfg.max_tiles_per_gaussian, cfg.chunk,
-            2 * g, base_tiles_per_gaussian=cfg.base_tiles_per_gaussian,
+            cfg.entry_budget,
+            base_tiles_per_gaussian=cfg.base_tiles_per_gaussian,
             big_pool_factor=cfg.big_pool_factor, depth_key=cfg.depth_key,
         )
         return jnp.sum(bins.counts).astype(jnp.float32)

@@ -57,15 +57,16 @@ def make_kernel(dtype):
             t_carry, acc = carry
             attrs = attrs_ref[0, :, :]
             qmat = attrs[0:8, :]
+            # MXU contractions accumulate in f32 (bf16 accumulation is
+            # not supported); only the VPU recurrence math runs in dtype.
             power = jax.lax.dot_general(
                 basis, qmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
+                preferred_element_type=jnp.float32,
             )
             alpha = jnp.minimum(
-                jnp.asarray(0.99, dtype), attrs[8:9, :].astype(dtype)
-                * jnp.exp(power)
+                0.99, attrs[8:9, :].astype(jnp.float32) * jnp.exp(power)
             )
-            alpha = jnp.where(power <= 0.0, alpha, jnp.zeros((), dtype))
+            alpha = jnp.where(power <= 0.0, alpha, 0.0).astype(dtype)
             om = (1.0 - alpha).astype(dtype)
             t_incl = t_carry * _prefix_prod_lanes(om, CHUNK)
             t_excl = jnp.concatenate([t_carry, t_incl[:, :-1]], axis=1)
@@ -91,6 +92,8 @@ def run(dtype):
     attrs = jax.random.uniform(
         jax.random.PRNGKey(0), (1, FEAT, CHUNK), minval=-0.1, maxval=0.0
     ).astype(dtype)
+    # keep basis/attrs in dtype so the alpha MXU contraction runs at the
+    # bf16 input rate even with an f32 accumulator
 
     fn = pl.pallas_call(
         make_kernel(dtype),

@@ -129,9 +129,14 @@ def main():
     def p1(m):
         proj = proj_of(m)
         bins = bins_of(proj)
+        # Checksums must be order-SENSITIVE: sum(src_order) is a constant
+        # (permutation sum) and lets XLA fold the sort away entirely.
+        w = jnp.arange(bins.src_order.shape[0], dtype=jnp.float32)
         return (
-            jnp.sum(bins.counts).astype(jnp.float32)
-            + jnp.sum(bins.src_order).astype(jnp.float32)
+            jnp.sum(bins.counts * jnp.arange(bins.counts.shape[0]))
+            .astype(jnp.float32)
+            + jnp.sum(bins.src_order.astype(jnp.float32) * w)
+            + jnp.sum(bins.src_sorted[::97]).astype(jnp.float32)
             + jnp.sum(proj.color)
         )
 
@@ -150,9 +155,10 @@ def main():
             [rows.T, jnp.zeros((FEAT - NUM_FIELDS, rows.shape[0]),
                                packed.dtype)], axis=0,
         )
+        w = jnp.arange(bins.src_order.shape[0], dtype=jnp.float32)
         return (
-            jnp.sum(attrs_t)
-            + jnp.sum(bins.src_order).astype(jnp.float32)
+            jnp.sum(attrs_t * attrs_t[::-1])
+            + jnp.sum(bins.src_order.astype(jnp.float32) * w)
         )
 
     out["p2_plus_gather_ms"] = scanned(p2, means) * 1e3
@@ -227,25 +233,29 @@ def main():
     counts, starts = bins.counts, bins.starts
     ntxy = bins.num_tiles_xy
 
-    def k_fwd(a):
-        o = _fwd_call(a, counts, starts, ntxy, CHUNK, a.shape[1],
+    # NOTE: `scanned` perturbs its FIRST arg per iteration — pass a tiny
+    # dummy first so the (16, 262k) attrs buffer isn't re-randomized per
+    # pass (generating 4M normals costs ~1 ms; inflated earlier k_* numbers).
+    dummy = jnp.zeros((8,), jnp.float32)
+
+    def k_fwd(d, a):
+        o = _fwd_call(a + d[0], counts, starts, ntxy, CHUNK, a.shape[1],
                       False, 1, unaligned=True)
         return jnp.sum(o)
 
-    out["k_fwd_kernel_ms"] = scanned(k_fwd, attrs_t) * 1e3
+    out["k_fwd_kernel_ms"] = scanned(k_fwd, dummy, attrs_t) * 1e3
     print(json.dumps(out), flush=True)
 
     fwd_out = _fwd_call(attrs_t, counts, starts, ntxy, CHUNK,
                         attrs_t.shape[1], False, 1, unaligned=True)
     g = jax.random.normal(jax.random.PRNGKey(10), fwd_out.shape)
 
-    def k_bwd(a):
-        d = _bwd_call(a, counts, starts, fwd_out, g, ntxy, CHUNK,
-                      a.shape[1], False, 1, padded_capacity=False,
-                      unaligned=True)
+    def k_bwd(dm, a):
+        d = _bwd_call(a + dm[0], counts, starts, fwd_out, g, ntxy, CHUNK,
+                      a.shape[1], False, 1, unaligned=True)
         return jnp.sum(d)
 
-    out["k_bwd_kernel_ms"] = scanned(k_bwd, attrs_t) * 1e3
+    out["k_bwd_kernel_ms"] = scanned(k_bwd, dummy, attrs_t) * 1e3
     print(json.dumps(out), flush=True)
 
     # live entry stats

@@ -128,6 +128,12 @@ def timed_aot(fn, args, iters, label, donate0=True):
 
 def main():
     iters = int(os.environ.get("STAGE_ITERS", "5"))
+    only = set(
+        v for v in os.environ.get("STAGE_VARIANTS", "").split(",") if v
+    )
+
+    def want(name):
+        return not only or name in only
     from spfsplatv2_tpu.models.decoder import DecoderConfig
     from spfsplatv2_tpu.training.step import (
         LossConfig,
@@ -146,6 +152,8 @@ def main():
 
     # --- full + no_lpips via the production step ------------------------
     for label, use_lpips in (("full", True), ("no_lpips", False)):
+        if not want(label):
+            continue
         step_fn = make_train_step(
             encoder, optimizer, (256, 256), DecoderConfig(),
             LossConfig(use_lpips=use_lpips),
@@ -202,10 +210,12 @@ def main():
                            opt_state=opt_state),
                 jnp.mean(losses))
 
-    state = fresh_state()
-    dt, fl = timed_aot(no_render_step, (state, batch), iters, "no_render")
-    out["no_render_ms"] = round(dt * 1e3, 1)
-    print(json.dumps(out), flush=True)
+    if want("no_render"):
+        state = fresh_state()
+        dt, fl = timed_aot(no_render_step, (state, batch), iters,
+                           "no_render")
+        out["no_render_ms"] = round(dt * 1e3, 1)
+        print(json.dumps(out), flush=True)
 
     # --- encoder fwd+bwd only (feature-sum gradient, same accumulation) -
     def enc_loss(params, mb):
@@ -230,12 +240,13 @@ def main():
         grads, _ = jax.lax.scan(body, zero, mbs, length=b // microbatch)
         return grads
 
-    dt, fl = timed_aot(
-        lambda p, b: jax.tree.leaves(enc_fwd_bwd(p, b))[0].sum(),
-        (params, batch), iters, "enc_fwd_bwd", donate0=False,
-    )
-    out["enc_fwd_bwd_ms"] = round(dt * 1e3, 1)
-    print(json.dumps(out), flush=True)
+    if want("enc_fwd_bwd"):
+        dt, fl = timed_aot(
+            lambda p, b: jax.tree.leaves(enc_fwd_bwd(p, b))[0].sum(),
+            (params, batch), iters, "enc_fwd_bwd", donate0=False,
+        )
+        out["enc_fwd_bwd_ms"] = round(dt * 1e3, 1)
+        print(json.dumps(out), flush=True)
 
     # --- encoder fwd only ----------------------------------------------
     def enc_fwd(params, batch):
@@ -253,10 +264,11 @@ def main():
         )
         return acc
 
-    dt, fl = timed_aot(enc_fwd, (params, batch), iters, "enc_fwd",
-                       donate0=False)
-    out["enc_fwd_ms"] = round(dt * 1e3, 1)
-    print(json.dumps(out), flush=True)
+    if want("enc_fwd"):
+        dt, fl = timed_aot(enc_fwd, (params, batch), iters, "enc_fwd",
+                           donate0=False)
+        out["enc_fwd_ms"] = round(dt * 1e3, 1)
+        print(json.dumps(out), flush=True)
 
     # --- optimizer only -------------------------------------------------
     def opt_only(state):
@@ -267,9 +279,11 @@ def main():
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=opt_state)
 
-    state = fresh_state()
-    dt, fl = timed_aot(lambda s: (opt_only(s),), (state,), iters, "opt_only")
-    out["opt_only_ms"] = round(dt * 1e3, 1)
+    if want("opt_only"):
+        state = fresh_state()
+        dt, fl = timed_aot(lambda s: (opt_only(s),), (state,), iters,
+                           "opt_only")
+        out["opt_only_ms"] = round(dt * 1e3, 1)
     print("FINAL " + json.dumps(out), flush=True)
 
 

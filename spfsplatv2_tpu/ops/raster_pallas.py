@@ -151,6 +151,7 @@ def _chunk_alpha(attrs, basis, valid, ox, oy):
     power = jax.lax.dot_general(
         basis, qmat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (P, chunk)
     alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
@@ -251,6 +252,7 @@ def _forward_kernel(
         contrib = jax.lax.dot_general(
             w, cd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # (P, 8)
         color = color + contrib[:, 0:3]
         depth = depth + contrib[:, 4:5]
@@ -431,6 +433,7 @@ def _backward_kernel(
         u = jax.lax.dot_general(
             gcat, cd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # (P, chunk)
 
         wu = w * u
@@ -456,6 +459,7 @@ def _backward_kernel(
         mom = jax.lax.dot_general(
             basis, dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # (8, chunk)
         m_xx = mom[0:1, :]
         m_yy = mom[1:2, :]
@@ -480,10 +484,12 @@ def _backward_kernel(
         d_col = jax.lax.dot_general(
             g_c, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # (3, chunk)
         d_dep = jax.lax.dot_general(
             g_d, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # (1, chunk)
 
         vmask = valid.astype(jnp.float32)
@@ -615,16 +621,20 @@ def _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy, chunk,
 NUM_FIELDS = 10  # real attribute fields (xy conic rgb opacity depth)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _prefix_core(packed, flat_p, src, src_order, src_sorted, counts, starts,
-                 n_live, num_tiles_xy, chunk, interpret, dup, base_dup):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def _prefix_core(packed, flat_p, src, src_order, src_sorted, live_counts,
+                 ends, has_drops, counts, starts, n_live, num_tiles_xy,
+                 chunk, interpret, dup, base_dup):
     """Gather + composite over the prefix entry layout (see PrefixBins).
 
     The gather lives INSIDE this custom-VJP boundary so the backward pass
-    accumulates per-entry gradients as permute-gather + SORTED segment-sum
-    over the source-order permutation the binning precomputed — never
-    XLA's scatter (measured ~110 ns/index on v5e vs ~17 ns/index gathers;
-    benchmarks/scatter_alternatives_probe.py).
+    accumulates per-entry gradients scatter-free: permute-gather into
+    source order, then a Pallas SEGMENTED SCAN whose per-segment last
+    lane is read at the binning's precomputed segment ends (~0.3 ms vs
+    2.3 ms for XLA's sorted segment-sum, which lowers to a scatter-add;
+    benchmarks/r5_accum_ab.py).  Budget-overflow steps (has_drops) fall
+    back to segment_sum, whose correctness doesn't depend on the
+    analytic segment ends.
     """
     e_pad = flat_p.shape[0]
     rows = packed[src]                                  # (e_pad, NUM_FIELDS)
@@ -635,9 +645,9 @@ def _prefix_core(packed, flat_p, src, src_order, src_sorted, counts, starts,
                      e_pad, interpret, 1, unaligned=True)
 
 
-def _prefix_core_fwd(packed, flat_p, src, src_order, src_sorted, counts,
-                     starts, n_live, num_tiles_xy, chunk, interpret, dup,
-                     base_dup):
+def _prefix_core_fwd(packed, flat_p, src, src_order, src_sorted, live_counts,
+                     ends, has_drops, counts, starts, n_live, num_tiles_xy,
+                     chunk, interpret, dup, base_dup):
     e_pad = flat_p.shape[0]
     rows = packed[src]
     attrs_t = jnp.concatenate(
@@ -645,34 +655,75 @@ def _prefix_core_fwd(packed, flat_p, src, src_order, src_sorted, counts,
     )
     out = _fwd_call(attrs_t, counts, starts, num_tiles_xy, chunk,
                     e_pad, interpret, 1, unaligned=True)
-    return out, (packed, src_order, src_sorted, attrs_t, counts, starts,
-                 n_live, out)
+    return out, (packed, src_order, src_sorted, live_counts, ends,
+                 has_drops, attrs_t, counts, starts, n_live, out)
 
 
 def _prefix_core_bwd(num_tiles_xy, chunk, interpret, dup, base_dup,
                      residuals, g):
-    (packed, src_order, src_sorted, attrs_t, counts, starts, n_live,
-     fwd_out) = residuals
+    from spfsplatv2_tpu.ops.segscan import segmented_scan_lanes
+
+    (packed, src_order, src_sorted, live_counts, ends, has_drops, attrs_t,
+     counts, starts, n_live, fwd_out) = residuals
     n_gauss = packed.shape[0]
     e_pad = attrs_t.shape[1]
     dattrs_t = _bwd_call(attrs_t, counts, starts, fwd_out, g, num_tiles_xy,
-                         chunk, e_pad, interpret, 1,
-                         padded_capacity=False, unaligned=True)
-    drows = dattrs_t[:NUM_FIELDS, :].T                  # (e_pad, NUM_FIELDS)
+                         chunk, e_pad, interpret, 1, unaligned=True)
     # Windows tile [0, n_live) contiguously, so backward validity is ONE
     # suffix mask (slots past n_live were never written — garbage).
+    # ALL gathers run in ROW space: gathering along the LANE axis of a
+    # row-major (16, E) buffer fetches 16 strided words per index (~an
+    # order of magnitude over a contiguous 64-byte row; measured as a
+    # +1.8 ms/camera regression in r5_dissect4).
     live = (jnp.arange(e_pad, dtype=jnp.int32) < n_live)[:, None]
-    drows = jnp.where(live, drows, 0.0)
-    # Permute entries into source-gaussian order (gather, ~17 ns/index)
-    # and reduce contiguous runs with a SORTED segment-sum.  Padding slots
-    # were clamped to segment n_gauss in the binning and their rows are
-    # zero; the extra segment row is dropped.
-    drows_s = drows[src_order]
-    dpacked = jax.ops.segment_sum(
-        drows_s, src_sorted, num_segments=n_gauss + 1,
-        indices_are_sorted=True,
-    )[:n_gauss]
-    return dpacked, None, None, None, None, None, None, None
+    drows = jnp.where(live, dattrs_t[:NUM_FIELDS].T, 0.0)  # (e_pad, 10)
+    # Permute entries into source-gaussian order (dead/dropped positions
+    # were clamped to segment n_gauss in the binning; their rows are 0).
+    drows_s = drows[src_order]                             # (e_pad, 10)
+
+    if ACCUM_MODE == "segscan":
+        def fast(_):
+            # Segmented inclusive scan along lanes: each segment's LAST
+            # lane carries its sum; read it at the analytic segment ends.
+            perm_t = jnp.concatenate(
+                [drows_s.T,
+                 jnp.zeros((FEAT - NUM_FIELDS, e_pad), drows_s.dtype)],
+                axis=0,
+            )
+            scanned = segmented_scan_lanes(
+                perm_t, src_sorted, block=chunk, interpret=interpret
+            )
+            seg_rows = scanned[:NUM_FIELDS].T              # (e_pad, 10)
+            take_pos = jnp.clip(ends - 1, 0, e_pad - 1)
+            return jnp.where(
+                (live_counts > 0)[:, None], seg_rows[take_pos], 0.0
+            )
+
+        def slow(_):
+            # Budget overflow dropped live entries: the analytic ends no
+            # longer match the stream — fall back to XLA's segment-sum.
+            return jax.ops.segment_sum(
+                drows_s, src_sorted, num_segments=n_gauss + 1,
+                indices_are_sorted=True,
+            )[:n_gauss]
+
+        dpacked = jax.lax.cond(has_drops, slow, fast, None)
+    else:
+        dpacked = jax.ops.segment_sum(
+            drows_s, src_sorted, num_segments=n_gauss + 1,
+            indices_are_sorted=True,
+        )[:n_gauss]
+    return (dpacked,) + (None,) * 10
+
+
+# Backward accumulation strategy: "segsum" (XLA sorted segment-sum, the
+# round-4 design) or "segscan" (Pallas segmented scan + analytic-ends
+# read).  Env-overridable so probes can A/B it without edits; the
+# production default is whichever the in-context measurement wins
+# (benchmarks/r5_accum_ab.py / r5_dissect.py).
+import os as _os  # noqa: E402
+
+ACCUM_MODE = _os.environ.get("SPFSPLAT_ACCUM", "segsum")
 
 
 _prefix_core.defvjp(_prefix_core_fwd, _prefix_core_bwd)
@@ -715,6 +766,7 @@ def composite_pallas_prefix(
 
     out = _prefix_core(
         packed, bins.flat, bins.src, bins.src_order, bins.src_sorted,
+        bins.live_counts, bins.ends, bins.has_drops,
         bins.counts, bins.starts, bins.n_live,
         (tiles_y, tiles_x), chunk, interpret, bins.dup,
         bins.base_dup or bins.dup,

@@ -188,14 +188,23 @@ class PrefixBins(NamedTuple):
     base_dup: int = 0
     # Backward-accumulation order (round 4): src_order permutes entry
     # slots into non-decreasing source-gaussian order (src_sorted =
-    # src[src_order]).  The backward then reduces per-entry gradients with
-    # permute-gather + SORTED segment-sum (~10 ms/camera) instead of a
-    # scatter into the (g * dup) flat space (~29 ms — scatter costs ~110
-    # ns/index on v5e, 7x the old cost model; see
+    # src[src_order]).  The backward then reduces per-entry gradients
+    # scatter-free (scatter costs ~110 ns/index on v5e; see
     # benchmarks/scatter_alternatives_probe.py).  Computed in the forward
-    # (indices don't depend on cotangents).
+    # (indices don't depend on cotangents).  Round 5: positions >= n_live
+    # (dead slots AND budget-dropped entries) are clamped to segment g
+    # before this sort, so the permuted stream's per-gaussian run lengths
+    # are exactly `live_counts` when no budget drop occurred.
     src_order: jax.Array | None = None   # (e_pad,)
     src_sorted: jax.Array | None = None  # (e_pad,)
+    # Round-5 segmented-scan accumulation support: analytic per-gaussian
+    # kept-live entry counts, their inclusive cumsum (segment ENDS in the
+    # permuted stream), and whether the entry budget dropped live entries
+    # (ends no longer match the stream -> backward falls back to
+    # segment_sum).  See raster_pallas._prefix_core_bwd.
+    live_counts: jax.Array | None = None  # (g,)
+    ends: jax.Array | None = None         # (g,)
+    has_drops: jax.Array | None = None    # () bool
 
 
 def bin_gaussians_prefix(
@@ -207,6 +216,7 @@ def bin_gaussians_prefix(
     base_tiles_per_gaussian: int | None = None,
     big_pool_factor: float = 0.125,
     depth_key: str = "rank",
+    interpret: bool | None = None,
 ) -> PrefixBins:
     """Prefix-layout binning (non-differentiable).  See PrefixBins.
 
@@ -286,33 +296,56 @@ def bin_gaussians_prefix(
     bw_safe = jnp.maximum(bw, 1)
 
     def tier_keys(rows_sel, d_lo, d_hi, row_live):
-        """(tile<<row_bits | rank) keys for slots d in [d_lo, d_hi)."""
-        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
-        bws = bw_safe[rows_sel][:, None] if rows_sel is not None else bw_safe[:, None]
+        """(tile<<row_bits | rank) keys for slots d in [d_lo, d_hi).
+
+        The bbox slot -> (dx, dy) mapping is an INCREMENTAL walk instead
+        of `d // bw, d % bw`: integer div/mod by a VARIABLE divisor has
+        no strength reduction on the VPU (~10x the cost of the adds) and
+        was the hidden bulk of the binning stage at 720k slots.
+        """
         sel = (lambda a: a[rows_sel]) if rows_sel is not None else (lambda a: a)
-        dy = d // bws
-        dx = d % bws
-        ok = (d < sel(n_touched)[:, None]) & row_live[:, None]
-        tid = (sel(y0)[:, None] + dy) * tiles_x + (sel(x0)[:, None] + dx)
-        return jnp.where(
-            ok, tid * jnp.int32(1 << row_bits) + sel(rank)[:, None],
-            sentinel_key,
-        )
+        bws = sel(bw_safe)
+        nt = sel(n_touched)
+        rk = sel(rank)
+        shift = jnp.int32(1 << row_bits)
+        cols = []
+        dx = jnp.zeros_like(bws)
+        tid = sel(y0) * tiles_x + sel(x0)
+        for d in range(d_hi):
+            if d >= d_lo:
+                ok = (d < nt) & row_live
+                cols.append(jnp.where(ok, tid * shift + rk, sentinel_key))
+            nx = dx + 1
+            wrap = nx >= bws
+            dx = jnp.where(wrap, 0, nx)
+            # wrap: (bw-1, dy) -> (0, dy+1): tid += tiles_x - bw + 1.
+            tid = jnp.where(wrap, tid + (tiles_x - bws + 1), tid + 1)
+        return jnp.stack(cols, axis=1)
 
     key_a = tier_keys(None, 0, dup_a, live_g)              # (g, dup_a)
     flat_a = jnp.arange(g * dup_a, dtype=jnp.int32)
 
+    from spfsplatv2_tpu.ops.segscan import cumsum_1d
+
     if extra > 0:
         # Compact "big" rows (touch more than dup_a tiles) to a static
-        # pool: unstable single-key sort on a binary key, big rows first.
+        # pool.  Selection is the LOWEST-row-id big rows (single-stream
+        # sort on (!big << 30 | row)): deterministic AND analytically
+        # invertible, so per-gaussian live counts (for the backward's
+        # segmented-scan accumulation) need no inverse permutation.
         pool = min(g, max(64, int(g * big_pool_factor)))
         big = (n_touched > dup_a) & live_g
-        _, big_rows = jax.lax.sort(
-            (jnp.where(big, jnp.int32(0), jnp.int32(1)),
-             jnp.arange(g, dtype=jnp.int32)),
-            dimension=0, num_keys=1, is_stable=False,
+        bigkey = jnp.where(big, jnp.int32(0), jnp.int32(1 << 30)) | (
+            jnp.arange(g, dtype=jnp.int32)
         )
-        pool_rows = big_rows[:pool]                        # (B,)
+        big_sorted = jax.lax.sort(bigkey, dimension=0, is_stable=False)
+        pool_rows = jnp.bitwise_and(
+            big_sorted[:pool], jnp.int32((1 << 30) - 1)
+        )                                                   # (B,)
+        in_pool = big & (
+            cumsum_1d(big.astype(jnp.int32), interpret=interpret) - 1
+            < jnp.int32(pool)
+        )
         key_b = tier_keys(pool_rows, dup_a, dup, big[pool_rows])  # (B, extra)
         # Tier-B flat ids ENCODE the source row (g*dup_a + row*extra + d')
         # so src recovery stays elementwise — no per-slot gather into the
@@ -371,19 +404,44 @@ def bin_gaussians_prefix(
         )
     else:
         src = flat_p // jnp.int32(dup_a)
-    # Source-order permutation for the backward's sorted segment-sum (see
-    # PrefixBins.src_order).  Padding slots carry src >= g (from their
-    # out-of-range flat ids), so they sink to the tail and the segment-sum
-    # drops them.  One e_pad-sized (key, payload) sort in the FORWARD buys
-    # the backward out of the 2M-flat-space scatter.
-    src_sorted, src_order = jax.lax.sort(
-        (jnp.minimum(src, jnp.int32(g)),  # clamp padding ids to segment g
-         jnp.arange(e_pad, dtype=jnp.int32)),
-        dimension=0, num_keys=1, is_stable=False,
+    # Source-order permutation for the backward's scatter-free reduction
+    # (see PrefixBins.src_order).  Positions >= n_live — dead slots,
+    # budget-dropped entries, AND out-of-range padding — are clamped to
+    # segment g so they sink to the tail: the permuted stream's live
+    # prefix then consists of exactly the kept entries, grouped by
+    # source gaussian.  One e_pad-sized (key, payload) sort in the
+    # FORWARD buys the backward out of the 2M-flat-space scatter.
+    pos = jnp.arange(e_pad, dtype=jnp.int32)
+    src_stream = jnp.where(
+        pos < n_live, jnp.minimum(src, jnp.int32(g)), jnp.int32(g)
     )
+    src_sorted, src_order = jax.lax.sort(
+        (src_stream, pos), dimension=0, num_keys=1, is_stable=False,
+    )
+    # Analytic kept-live entry counts per gaussian (exact when the budget
+    # dropped nothing): tier-A min(touched, dup_a) + tier-B extras for
+    # pool members.  Their cumsum gives each gaussian's segment END in
+    # the permuted stream — the backward reads the segmented-scan value
+    # there.  has_drops flags the (rare, budget-overflow) case where the
+    # stream no longer matches and the backward must fall back.
+    cap_a = jnp.minimum(n_touched, jnp.int32(dup_a))
+    if extra > 0:
+        live_counts = jnp.where(
+            live_g,
+            cap_a + jnp.where(
+                in_pool,
+                jnp.clip(n_touched - jnp.int32(dup_a), 0, extra), 0,
+            ),
+            0,
+        ).astype(jnp.int32)
+    else:
+        live_counts = jnp.where(live_g, cap_a, 0).astype(jnp.int32)
+    ends = cumsum_1d(live_counts, interpret=interpret)
+    has_drops = tile_starts[-1] > jnp.int32(budget)
     return PrefixBins(
         flat_p, src, counts, starts, n_live, (tiles_y, tiles_x), e_pad, dup,
         n_overflow, dup_a, src_order, src_sorted,
+        live_counts, ends, has_drops,
     )
 
 
