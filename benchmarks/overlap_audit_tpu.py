@@ -81,18 +81,17 @@ def build_step(n: int, devices):
     )
     optimizer = make_optimizer(OptimizerConfig(warm_up_steps=2, max_steps=10),
                                params)
+    mesh = Mesh(np.asarray(devices).reshape(n, 1), ("data", "tile"))
     step_fn = make_train_step(
         encoder, optimizer, (h, w),
         DecoderConfig(rasterizer=RasterizerConfig(max_per_tile=256, chunk=128)),
-        LossConfig(use_lpips=False), donate=False,
+        LossConfig(use_lpips=False), donate=False, mesh=mesh,
     )
     opt_state = jax.eval_shape(optimizer.init, params)
     state = TrainState(
         step=jax.ShapeDtypeStruct((), jnp.int32), params=params,
         opt_state=opt_state,
     )
-
-    mesh = Mesh(np.asarray(devices).reshape(n, 1), ("data", "tile"))
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
     state_sh = jax.tree.map(

@@ -95,12 +95,16 @@ def build(batch_size=16, h=256, w=256, microbatch=2):
         from spfsplatv2_tpu.losses.lpips import init_lpips_params
 
         lpips_params = init_lpips_params()
-    params = jax.device_put(params, jax.devices()[0])
+    # Keep params HOST-side; each variant device_puts a fresh copy —
+    # donated executions consume the device buffers, and a later variant
+    # reusing them dies with INVALID_ARGUMENT (deleted buffer).
+    params_host = jax.tree.map(lambda x: __import__("numpy").asarray(x),
+                               params)
     lpips_params = jax.device_put(lpips_params, jax.devices()[0])
-    jax.block_until_ready(params)
+    jax.block_until_ready(lpips_params)
     print(f"# init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     optimizer = make_optimizer(OptimizerConfig(), params)
-    return encoder, optimizer, params, lpips_params, batch, microbatch
+    return encoder, optimizer, params_host, lpips_params, batch, microbatch
 
 
 def timed_aot(fn, args, iters, label, donate0=True):
@@ -141,10 +145,16 @@ def main():
         make_train_step,
     )
 
-    encoder, optimizer, params, lpips_params, batch, microbatch = build()
+    encoder, optimizer, params_host, lpips_params, batch, microbatch = build()
     out = {}
 
+    def fresh_params():
+        p = jax.device_put(params_host, jax.devices()[0])
+        jax.block_until_ready(p)
+        return p
+
     def fresh_state():
+        params = fresh_params()
         return TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             opt_state=jax.jit(optimizer.init)(params),
@@ -243,7 +253,7 @@ def main():
     if want("enc_fwd_bwd"):
         dt, fl = timed_aot(
             lambda p, b: jax.tree.leaves(enc_fwd_bwd(p, b))[0].sum(),
-            (params, batch), iters, "enc_fwd_bwd", donate0=False,
+            (fresh_params(), batch), iters, "enc_fwd_bwd", donate0=False,
         )
         out["enc_fwd_bwd_ms"] = round(dt * 1e3, 1)
         print(json.dumps(out), flush=True)
@@ -265,7 +275,7 @@ def main():
         return acc
 
     if want("enc_fwd"):
-        dt, fl = timed_aot(enc_fwd, (params, batch), iters, "enc_fwd",
+        dt, fl = timed_aot(enc_fwd, (fresh_params(), batch), iters, "enc_fwd",
                            donate0=False)
         out["enc_fwd_ms"] = round(dt * 1e3, 1)
         print(json.dumps(out), flush=True)

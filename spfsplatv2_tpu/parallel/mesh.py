@@ -87,11 +87,16 @@ def audit_collectives(hlo_text: str) -> dict:
              "collective-permute", "all-to-all")
     out = {k: {"count": 0, "bytes": 0} for k in kinds}
     # Instruction form: `%name = <shape> all-reduce(...)` or
-    # `... = (f32[...], f32[...]) all-reduce-start(...)`.
+    # `... = (f32[...], f32[...]) all-reduce-start(...)`.  Tuple types
+    # carry layout annotations with nested parens (`{1,0:T(8,128)S(1)}`)
+    # and can span MULTIPLE lines in TPU-scheduled dumps (shard_map psum
+    # emits one tuple all-reduce over every gradient leaf), so the tuple
+    # alternative tolerates one nesting level and newlines.
     pat = re.compile(
-        r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^\s]*)\s+"
+        r"=\s*(\((?:[^()]|\([^()]*\))*\)|[a-z0-9]+\[[0-9,]*\][^\s]*)\s+"
         r"(all-reduce|reduce-scatter|all-gather|collective-permute|all-to-all)"
-        r"(?:-start)?\("
+        r"(?:-start)?\(",
+        re.DOTALL,
     )
     for m in pat.finditer(hlo_text):
         shapes, kind = m.groups()
@@ -154,7 +159,10 @@ def audit_overlap(hlo_text: str) -> dict:
     if not overlaps:
         has_sync = "all-reduce(" in hlo_text
         return {
-            "mode": "sync-cpu-lowering" if has_sync else "no-collectives",
+            # Sync collectives appear both from CPU lowering AND from the
+            # TPU scheduler deciding async splitting isn't profitable at
+            # small collective sizes — the caller knows which platform.
+            "mode": "sync-scheduled" if has_sync else "no-collectives",
             "async_pairs": 0,
         }
     return {

@@ -336,7 +336,8 @@ def run_training(
     while True:
         step_fn = make_train_step(
             encoder, optimizer, tuple(cfg.image_shape), cfg.decoder,
-            cfg.loss, microbatch=microbatch, **step_kwargs,
+            cfg.loss, microbatch=microbatch,
+            mesh=mesh if mesh.size > 1 else None, **step_kwargs,
         )
         run_step, peak_gb = step_fn.compile_checked(state, probe_dev)
         if peak_gb is not None:
@@ -367,7 +368,8 @@ def run_training(
         distill_step_fn = make_train_step(
             encoder, optimizer, tuple(cfg.image_shape), cfg.decoder,
             cfg.loss, distiller=distiller, distiller_params=distiller_params,
-            microbatch=microbatch, **step_kwargs,
+            microbatch=microbatch,
+            mesh=mesh if mesh.size > 1 else None, **step_kwargs,
         )
 
     batch = first

@@ -251,6 +251,7 @@ def make_train_step(
     distiller=None,
     distiller_params=None,
     microbatch: int | None = None,
+    mesh=None,
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -275,8 +276,9 @@ def make_train_step(
     # embedded VGG16 weights deterministically SIGSEGVs the TPU
     # remote-compile helper at flagship batch (the round-2/3 train-bench
     # HTTP 500; see .claude/skills/verify/SKILL.md round-3 finding).
-    def step_fn(state: TrainState, batch: dict, lpips_p, distiller_p):
-        trace_count.append(1)
+    def grad_and_metrics(state: TrainState, batch: dict, lpips_p,
+                         distiller_p):
+        """Per-shard gradient + metrics (the data-parallel unit)."""
 
         def loss_fn(params, mb):
             return compute_losses(
@@ -338,7 +340,9 @@ def make_train_step(
                 k: v * inv if jnp.issubdtype(v.dtype, jnp.floating) else v
                 for k, v in metrics.items()
             }
+        return grads, metrics
 
+    def apply_update(state: TrainState, grads, metrics):
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -349,6 +353,54 @@ def make_train_step(
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
         )
+
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        def step_fn(state, batch, lpips_p, distiller_p):
+            trace_count.append(1)
+            grads, metrics = grad_and_metrics(state, batch, lpips_p,
+                                              distiller_p)
+            return apply_update(state, grads, metrics)
+    else:
+        # Data-parallel over mesh axis "data" via shard_map: GSPMD cannot
+        # auto-partition Mosaic (Pallas) kernels, so the per-shard step
+        # body — including the rasterizer and segscan kernels — runs
+        # UNPARTITIONED per device and the gradient all-reduce is an
+        # explicit pmean over ICI (the TPU-native DDP; reference trains
+        # with Lightning DDP/NCCL, src/main.py:135-154).  The optimizer
+        # update runs replicated outside the shard_map.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def per_shard(state, batch, lpips_p, distiller_p):
+            grads, metrics = grad_and_metrics(state, batch, lpips_p,
+                                              distiller_p)
+            grads = jax.lax.pmean(grads, "data")
+            metrics = {
+                k: jax.lax.pmean(v, "data")
+                if jnp.issubdtype(v.dtype, jnp.floating)
+                else jax.lax.psum(v, "data")
+                for k, v in metrics.items()
+            }
+            return grads, metrics
+
+        def step_fn(state, batch, lpips_p, distiller_p):
+            trace_count.append(1)
+            # Per-leaf specs: batch arrays shard on the leading axis;
+            # the optional (v,)-shaped view-validity masks replicate.
+            batch_spec = {
+                k: (P() if k.endswith("_valid")
+                    else jax.tree.map(lambda _: P("data"), v))
+                for k, v in batch.items()
+            }
+            sharded_grads = shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), batch_spec, P(), P()),
+                out_specs=P(),
+                check_rep=False,
+            )
+            grads, metrics = sharded_grads(state, batch, lpips_p,
+                                           distiller_p)
+            return apply_update(state, grads, metrics)
 
     jitted_raw = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
