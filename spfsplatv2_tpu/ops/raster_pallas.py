@@ -148,6 +148,13 @@ def _chunk_alpha(attrs, basis, valid, ox, oy):
         ],
         axis=0,
     )  # (8, chunk)
+    # HIGHEST precision: the v5e MXU runs f32 matmuls as bf16x3 passes by
+    # default, and power errors of ~1e-2 at large tile-local coordinates
+    # flip entries across the ALPHA_MIN / power<=0 cutoffs — compiled-TPU
+    # images then diverge from the oracle by O(1) at the flipped entries
+    # (round-5 cross-check).  Only THIS contraction gates discrete
+    # decisions; the remaining dots are plain accumulations where bf16x3
+    # error is ~1e-6 relative, so they keep the fast default.
     power = jax.lax.dot_general(
         basis, qmat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -248,11 +255,15 @@ def _forward_kernel(
             attrs, basis, valid, t_carry, chunk, ox, oy
         )
         # color += w @ rgb^T ; depth += w @ z^T  (contract the chunk axis).
+        # HIGHEST: forward image accuracy (bf16x3 passes leave ~5e-3
+        # outliers vs the oracle); the backward's dots keep the fast
+        # default — their ~1e-6-relative error is dwarfed by inherent
+        # cutoff-flip gradient differences (PERFORMANCE.md round 5).
         cd = attrs[5:13, :]  # rows: r g b op z pad pad pad
         contrib = jax.lax.dot_general(
             w, cd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (P, 8)
         color = color + contrib[:, 0:3]
         depth = depth + contrib[:, 4:5]
@@ -433,7 +444,6 @@ def _backward_kernel(
         u = jax.lax.dot_general(
             gcat, cd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
         )  # (P, chunk)
 
         wu = w * u
@@ -459,7 +469,6 @@ def _backward_kernel(
         mom = jax.lax.dot_general(
             basis, dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
         )  # (8, chunk)
         m_xx = mom[0:1, :]
         m_yy = mom[1:2, :]
@@ -484,12 +493,10 @@ def _backward_kernel(
         d_col = jax.lax.dot_general(
             g_c, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
         )  # (3, chunk)
         d_dep = jax.lax.dot_general(
             g_d, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
         )  # (1, chunk)
 
         vmask = valid.astype(jnp.float32)
